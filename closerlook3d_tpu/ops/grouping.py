@@ -1,0 +1,73 @@
+"""Grouping (neighbor gather) and masked reductions.
+
+Parity: the reference's ``group_points`` CUDA kernel (SURVEY.md §2.3 N4)
+gathers ``[B, N, K]`` neighbor features. Here the gather is a jnp
+``take_along_axis`` the XLA TPU backend fuses into downstream elementwise
+work; the fully fused gather->encode->reduce path lives in
+``closerlook3d_tpu.ops.pallas.aggregation``.
+
+Masked-reduction conventions (SURVEY.md §7 "hard part 3"):
+  * max: invalid slots -> -inf; queries with zero valid neighbors -> 0.
+  * avg: sum of valid / max(count, 1).
+  * sum: sum of valid.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def group_features(features: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbor features.
+
+    Args:
+      features: [B, Ns, C].
+      idx:      [B, Nq, K] int32 indices into Ns.
+
+    Returns:
+      [B, Nq, K, C].
+    """
+    b, nq, k = idx.shape
+    flat = idx.reshape(b, nq * k)
+    out = jnp.take_along_axis(features, flat[..., None], axis=1)
+    return out.reshape(b, nq, k, features.shape[-1])
+
+
+def group_xyz(xyz: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbor coordinates: [B, Nq, K, 3]."""
+    return group_features(xyz, idx)
+
+
+def masked_max(
+    values: jax.Array, mask: Optional[jax.Array], axis: int = -2
+) -> jax.Array:
+    """Max over the neighbor axis; empty neighborhoods produce 0."""
+    if mask is None:
+        return jnp.max(values, axis=axis)
+    m = jnp.expand_dims(mask, -1)
+    filled = jnp.where(m, values, jnp.float32(-jnp.inf).astype(values.dtype))
+    out = jnp.max(filled, axis=axis)
+    any_valid = jnp.any(mask, axis=-1, keepdims=True)
+    return jnp.where(any_valid, out, jnp.zeros_like(out))
+
+
+def masked_sum(
+    values: jax.Array, mask: Optional[jax.Array], axis: int = -2
+) -> jax.Array:
+    if mask is None:
+        return jnp.sum(values, axis=axis)
+    m = jnp.expand_dims(mask, -1).astype(values.dtype)
+    return jnp.sum(values * m, axis=axis)
+
+
+def masked_avg(
+    values: jax.Array, mask: Optional[jax.Array], axis: int = -2
+) -> jax.Array:
+    if mask is None:
+        return jnp.mean(values, axis=axis)
+    total = masked_sum(values, mask, axis=axis)
+    count = jnp.sum(mask, axis=-1, keepdims=True).astype(values.dtype)
+    return total / jnp.maximum(count, 1.0)
