@@ -1,0 +1,114 @@
+"""Benchmark harness: points/sec/chip for train + infer.
+
+Prints ONE JSON line:
+  {"metric": "points_per_sec_per_chip_train", "value": N,
+   "unit": "points/s", "vs_baseline": R, ...extras}
+
+The reference publishes no throughput numbers (BASELINE.md): vs_baseline
+is reported against a measured-on-first-run pinned value stored in
+BENCH_PIN.json (self-relative trend), or null before the pin exists.
+
+Config: the ModelNet40 headline setup (PosPool xyz/avg, 5-stage trunk,
+width 144) on synthetic clouds — geometry identical to the dataset's
+shapes in cost. Override via env BENCH_POINTS / BENCH_BATCH / BENCH_OP.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from closerlook3d_tpu.models import build_model
+    from closerlook3d_tpu.parallel.mesh import make_mesh, shard_batch
+    from closerlook3d_tpu.train.schedules import make_optimizer
+    from closerlook3d_tpu.train.state import create_train_state
+    from closerlook3d_tpu.train.step import make_eval_step, make_train_step
+    from closerlook3d_tpu.utils.config import load_config
+
+    num_points = int(os.environ.get("BENCH_POINTS", 1024))
+    batch = int(os.environ.get("BENCH_BATCH", 32))
+    op = os.environ.get("BENCH_OP", "pospool")
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+
+    cfg = load_config()
+    cfg.local_aggregation_type = op
+    cfg.task = "classification"
+    cfg.num_points = num_points
+    cfg.num_classes = 40
+    cfg.npoints = []
+    cfg.batch_size = batch
+    cfg.precision = "bf16"
+
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-1, 1, size=(batch, num_points, 3)).astype(np.float32)
+    host_batch = {
+        "xyz": xyz,
+        "mask": np.ones((batch, num_points), bool),
+        "features": xyz.copy(),
+        "label": rng.integers(0, 40, size=(batch,)).astype(np.int32),
+    }
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh(data_parallel=n_chips, model_parallel=1)
+    model, loss_fn = build_model(cfg)
+    optimizer, _ = make_optimizer(cfg, steps_per_epoch=100)
+    dbatch = shard_batch(host_batch, mesh)
+    state = create_train_state(cfg, model, optimizer,
+                               jax.random.PRNGKey(0), dbatch, mesh)
+    train_step = make_train_step(model, loss_fn, cfg.task, mesh)
+    eval_step = make_eval_step(model, loss_fn, cfg.task, mesh)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, m = train_step(state, dbatch, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = train_step(state, dbatch, key)
+    jax.block_until_ready(m)
+    train_dt = (time.perf_counter() - t0) / steps
+
+    logits, m = eval_step(state, dbatch)
+    jax.block_until_ready(logits)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        logits, m = eval_step(state, dbatch)
+    jax.block_until_ready(logits)
+    infer_dt = (time.perf_counter() - t0) / steps
+
+    pts = batch * num_points
+    train_pps = pts / train_dt / n_chips
+    infer_pps = pts / infer_dt / n_chips
+
+    pin_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PIN.json")
+    vs = None
+    if os.path.exists(pin_file):
+        with open(pin_file) as f:
+            pin = json.load(f)
+        if pin.get("train_pps"):
+            vs = train_pps / pin["train_pps"]
+    print(json.dumps({
+        "metric": "points_per_sec_per_chip_train",
+        "value": round(train_pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+        "infer_points_per_sec_per_chip": round(infer_pps, 1),
+        "train_step_ms": round(train_dt * 1e3, 2),
+        "infer_step_ms": round(infer_dt * 1e3, 2),
+        "config": {"op": op, "points": num_points, "batch": batch,
+                   "chips": n_chips, "precision": cfg.precision},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Evaluation entry point (reference: function/evaluate_*_dist.py).
+
+    python -m closerlook3d_tpu.cli.evaluate --cfg <yaml> --load_path runs/x/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from closerlook3d_tpu.cli.train import parse_overrides
+from closerlook3d_tpu.data import BatchIterator, build_dataset
+from closerlook3d_tpu.data.loader import feature_dim
+from closerlook3d_tpu.models import build_model
+from closerlook3d_tpu.parallel.mesh import make_mesh
+from closerlook3d_tpu.train.checkpoints import CheckpointManager
+from closerlook3d_tpu.train.evaluate import (
+    evaluate_partseg,
+    evaluate_s3dis_voting,
+)
+from closerlook3d_tpu.train.loop import Trainer, device_batch
+from closerlook3d_tpu.train.schedules import make_optimizer
+from closerlook3d_tpu.train.state import create_train_state
+from closerlook3d_tpu.train.step import make_eval_step
+from closerlook3d_tpu.utils.config import load_config
+from closerlook3d_tpu.utils.logger import setup_logger
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CloserLook3D-TPU evaluation")
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--log_dir", default="runs/eval")
+    p.add_argument("--load_path", required=True)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.cfg, parse_overrides(args.overrides))
+    logger = setup_logger(args.log_dir)
+    dataset = build_dataset(cfg, "test")
+    cfg.input_features_dim = feature_dim(cfg.input_features)
+    mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
+    model, loss_fn = build_model(cfg)
+    optimizer, _ = make_optimizer(cfg, 1)
+
+    it = BatchIterator(dataset, cfg.batch_size, shuffle=False,
+                       feature_spec=cfg.input_features, drop_last=False)
+    sample = device_batch(next(iter(it)), mesh)
+    state = create_train_state(cfg, model, optimizer,
+                               jax.random.PRNGKey(0), sample, mesh)
+    ckpt = CheckpointManager(args.load_path)
+    state, _, step = ckpt.restore(state)
+    if state is None:
+        raise SystemExit(f"no checkpoint found in {args.load_path}")
+    logger.info("evaluating checkpoint @ step %s", step)
+
+    def logits_fn(state, batch):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["xyz"], batch["mask"], batch["features"], train=False)
+
+    jitted_logits = jax.jit(logits_fn)
+
+    if cfg.task == "scene_segmentation" and cfg.datasets == "s3dis":
+        results = evaluate_s3dis_voting(cfg, dataset, state, jitted_logits,
+                                        logger)
+    elif cfg.task == "part_segmentation":
+        results = evaluate_partseg(cfg, dataset, state, jitted_logits, it)
+    else:
+        eval_step = make_eval_step(model, loss_fn, cfg.task, mesh)
+        from closerlook3d_tpu.train.metrics import AverageMeter
+        import numpy as np
+        acc = AverageMeter()
+        for batch in it:
+            db = device_batch(batch, mesh)
+            logits, _ = eval_step(state, db)
+            keep = ~batch["batch_pad"]
+            pred = np.asarray(jax.device_get(logits)).argmax(-1)
+            acc.update(float((pred[keep] == batch["label"][keep]).mean()),
+                       int(keep.sum()))
+        results = {"accuracy": acc.avg}
+
+    logger.info("results: %s", json.dumps(results))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Batching + input-feature construction.
+
+Single-process host batching (this host has one core; worker processes
+would only add overhead — the TPU step overlaps with the next batch's
+assembly via jax's async dispatch). Datasets are len/__getitem__ objects
+returning dicts of fixed-shape numpy arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def build_features(sample_or_batch: Dict[str, np.ndarray],
+                   spec: str) -> np.ndarray:
+    """Assemble the model input feature tensor from a sample dict.
+
+    spec: comma-separated list of {ones, xyz, normals, rgb, height};
+    e.g. the reference's input_features_dim=3 ModelNet40 config is 'xyz',
+    S3DIS's 5-dim variant is 'ones,rgb,height' (1+3+1).
+    """
+    xyz = sample_or_batch["xyz"]
+    parts = []
+    for name in spec.split(","):
+        name = name.strip()
+        if name == "ones":
+            parts.append(np.ones_like(xyz[..., :1]))
+        elif name == "xyz":
+            parts.append(xyz)
+        elif name == "normals":
+            parts.append(sample_or_batch["normals"])
+        elif name == "rgb":
+            parts.append(sample_or_batch["rgb"])
+        elif name == "height":
+            # scene datasets emit absolute height separately (xyz is
+            # recentred on the sphere center); fall back to z otherwise
+            parts.append(sample_or_batch.get("height", xyz[..., 2:3]))
+        else:
+            raise ValueError(f"unknown input feature: {name}")
+    return np.concatenate(parts, axis=-1).astype(np.float32)
+
+
+def feature_dim(spec: str) -> int:
+    dims = {"ones": 1, "xyz": 3, "normals": 3, "rgb": 3, "height": 1}
+    return sum(dims[p.strip()] for p in spec.split(","))
+
+
+class BatchIterator:
+    """Epoch iterator producing stacked numpy batches.
+
+    Train mode shuffles and drops the last ragged batch (fixed shapes for
+    jit); eval mode pads the final batch by repeating the last sample and
+    marks padding in ``batch_pad`` so metrics can exclude it.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 feature_spec: str, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.feature_spec = feature_spec
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 65537 + self.epoch)
+            rng.shuffle(order)
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_last else n
+        for start in range(0, stop, bs):
+            sel = order[start:start + bs]
+            pad = bs - len(sel)
+            if pad:
+                sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
+            samples = [self.dataset[int(i)] for i in sel]
+            batch = {k: np.stack([s[k] for s in samples])
+                     for k in samples[0]}
+            batch["features"] = build_features(batch, self.feature_spec)
+            batch["batch_pad"] = np.arange(bs) >= (bs - pad) if pad else \
+                np.zeros(bs, bool)
+            yield batch

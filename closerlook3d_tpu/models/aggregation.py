@@ -1,0 +1,251 @@
+"""The four local aggregation operator families — the scientific core.
+
+Behavioral spec (SURVEY.md §2.4, paper arXiv:2007.01294 §3 eq. 1-5;
+reference: pytorch/models/local_aggregation_operators.py):
+
+  Common form: for query point i with padded neighborhood N(i) (ball
+  query, max K, radius r), output
+      y_i = R({ G(dp_ij, f_j) : j in N(i) }),  dp_ij = p_j - p_i,
+  with masked reduction R in {max, avg, sum}. dp is normalized by the
+  ball radius so every operator sees O(1) offsets (bf16-safe).
+
+  1. PointWiseMLP:  G = MLP(concat of [dp | f_j | f_j - f_i] per
+     ``feature_type``); best paper config dp_fi_df / 1 FC / max.
+  2. PseudoGrid (KPConv-style): fixed kernel points in the unit ball;
+     neighbor features are distributed to kernel points by linear
+     correlation max(0, 1 - d/extent); per-kernel-point weight matrices;
+     sum aggregation. Kernel point layouts come from the same
+     energy-minimization procedure KPConv uses (deterministic, cached).
+  3. AdaptiveWeight: small MLP on dp predicts a per-neighbor weight
+     vector (optionally softmax-normalized over the neighborhood,
+     optionally shared across channel groups); weighted reduction.
+  4. PosPool (parameter-free): xyz variant multiplies channel thirds by
+     (dx, dy, dz); sin_cos variant multiplies features elementwise by a
+     transformer-style sinusoidal embedding of dp.
+
+TPU notes: the jnp path below gathers [B,Nq,K,C] and lets XLA fuse
+gather+encode+reduce; the fused Pallas kernels (ops/pallas/aggregation)
+replace the hot inner body when enabled via ops.dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from closerlook3d_tpu.ops.grouping import (
+    group_features,
+    group_xyz,
+    masked_avg,
+    masked_max,
+    masked_sum,
+)
+
+_REDUCTIONS = {"max": masked_max, "avg": masked_avg, "mean": masked_avg,
+               "sum": masked_sum}
+
+
+@functools.lru_cache(maxsize=None)
+def kernel_point_layout(num_points: int, fixed: str = "center",
+                        seed: int = 0) -> np.ndarray:
+    """Deterministic kernel-point disposition in the unit ball.
+
+    KPConv obtains its rigid layouts by minimizing repulsive electrostatic
+    energy with points confined to a sphere (optionally one point fixed at
+    the center). We run the same style of optimization in numpy with a
+    fixed seed; the result is cached per (K, fixed).
+
+    Returns [K, 3] float32 with max norm 1.
+    """
+    rng = np.random.default_rng(seed)
+    k = num_points
+    pts = rng.normal(size=(k, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True) + 1e-9
+    pts *= rng.uniform(0.3, 1.0, size=(k, 1))
+    if fixed == "center":
+        pts[0] = 0.0
+    lr = 0.01
+    for _ in range(400):
+        diff = pts[:, None, :] - pts[None, :, :]  # [K, K, 3]
+        d = np.linalg.norm(diff, axis=-1) + 1e-9
+        np.fill_diagonal(d, np.inf)
+        force = (diff / d[..., None] ** 3).sum(axis=1)  # repulsion
+        pts = pts + lr * force
+        if fixed == "center":
+            pts[0] = 0.0
+        norms = np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+        pts = np.where(norms > 1.0, pts / norms, pts)  # confine to ball
+    scale = np.abs(pts).max() if k == 1 else np.linalg.norm(pts, axis=1).max()
+    return (pts / max(scale, 1e-9)).astype(np.float32)
+
+
+def _typical_spacing(kp: np.ndarray) -> float:
+    """Mean nearest-neighbor distance among kernel points (influence scale)."""
+    if kp.shape[0] < 2:
+        return 1.0
+    d = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    return float(d.min(axis=1).mean())
+
+
+def sinusoidal_embedding(dp_hat: jax.Array, channels: int,
+                         alpha: float = 100.0, beta: float = 1000.0
+                         ) -> jax.Array:
+    """Transformer-style positional embedding of relative offsets.
+
+    [..., 3] -> [..., channels]; channels must be divisible by 6
+    (3 coords x sin/cos x channels//6 frequencies). alpha/beta follow the
+    PosPool paper's sin/cos variant (scale 100, temperature 1000) [L].
+    """
+    assert channels % 6 == 0, "sin_cos PosPool needs channels % 6 == 0"
+    ndim = channels // 6
+    exps = jnp.arange(ndim, dtype=jnp.float32) / ndim
+    freq = beta**exps  # [ndim]
+    ang = alpha * dp_hat[..., None] / freq  # [..., 3, ndim]
+    emb = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [...,3,ndim,2]
+    return emb.reshape(*dp_hat.shape[:-1], channels)
+
+
+class LocalAggregation(nn.Module):
+    """Uniform interface over the four operator families.
+
+    __call__(query_xyz, support_xyz, support_features, neighbor_idx,
+             neighbor_mask, train) -> [B, Nq, out_channels]
+    """
+
+    out_channels: int
+    radius: float
+    config: Any  # full experiment config (reads local_aggregation_type + subtree)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_xyz, support_xyz, support_features,
+                 neighbor_idx, neighbor_mask, train: bool = False):
+        cfg = self.config
+        agg_type = cfg.local_aggregation_type
+        f = group_features(support_features, neighbor_idx)  # [B,Nq,K,C]
+        pj = group_xyz(support_xyz, neighbor_idx)  # [B,Nq,K,3]
+        dp = (pj - query_xyz[:, :, None, :]) / jnp.float32(self.radius)
+        dp = dp.astype(f.dtype)
+
+        if agg_type == "pospool":
+            out = self._pospool(dp, f, neighbor_mask)
+            ocfg = cfg.pospool
+        elif agg_type == "pointwisemlp":
+            out = self._pointwisemlp(dp, f, neighbor_mask, train)
+            ocfg = cfg.pointwisemlp
+        elif agg_type == "pseudo_grid":
+            out = self._pseudo_grid(dp, f, neighbor_mask)
+            ocfg = cfg.pseudo_grid
+        elif agg_type == "adaptive_weight":
+            out = self._adaptive_weight(dp, f, neighbor_mask, train)
+            ocfg = cfg.adaptive_weight
+        else:
+            raise ValueError(f"unknown local_aggregation_type: {agg_type}")
+
+        if getattr(ocfg, "output_conv", False) or out.shape[-1] != self.out_channels:
+            from closerlook3d_tpu.models.nn_utils import ConvBN
+            out = ConvBN(self.out_channels, cfg.batchnorm_momentum,
+                         dtype=self.dtype)(out, train=train)
+        return out
+
+    # ---- operator families ------------------------------------------------
+
+    def _pospool(self, dp, f, mask):
+        p = self.config.pospool
+        c = f.shape[-1]
+        if p.position_embedding == "xyz":
+            assert c % 3 == 0, "xyz PosPool needs channels % 3 == 0"
+            g = c // 3
+            enc = jnp.concatenate(
+                [f[..., :g] * dp[..., 0:1],
+                 f[..., g:2 * g] * dp[..., 1:2],
+                 f[..., 2 * g:] * dp[..., 2:3]], axis=-1)
+        elif p.position_embedding == "sin_cos":
+            emb = sinusoidal_embedding(dp.astype(jnp.float32), c)
+            enc = f * emb.astype(f.dtype)
+        else:
+            raise ValueError(p.position_embedding)
+        return _REDUCTIONS[p.reduction](enc, mask)
+
+    def _pointwisemlp(self, dp, f, mask, train):
+        from closerlook3d_tpu.models.nn_utils import ConvBN
+        p = self.config.pointwisemlp
+        parts = []
+        if "dp" in p.feature_type:
+            parts.append(dp)
+        if "fi" in p.feature_type:
+            parts.append(f)
+        if "df" in p.feature_type:
+            fi = f[:, :, :1, :] if f.shape[2] > 0 else f
+            # f_i = the query's own feature; neighbor slot 0 is the nearest
+            # neighbor (self for same-resolution blocks). Reference uses the
+            # center feature; nearest-neighbor is the masked-set equivalent.
+            parts.append(f - fi)
+        h = jnp.concatenate(parts, axis=-1)
+        for _ in range(p.num_mlps):
+            h = ConvBN(self.out_channels, self.config.batchnorm_momentum,
+                       dtype=self.dtype)(h, train=train)
+        return _REDUCTIONS[p.reduction](h, mask)
+
+    def _pseudo_grid(self, dp, f, mask):
+        p = self.config.pseudo_grid
+        kp_np = kernel_point_layout(p.num_kernel_points,
+                                    p.fixed_kernel_points)
+        extent = jnp.float32(p.KP_extent * _typical_spacing(kp_np))
+        kp = jnp.asarray(kp_np, dtype=jnp.float32)
+        d = jnp.linalg.norm(
+            dp.astype(jnp.float32)[..., None, :] - kp, axis=-1
+        )  # [B,Nq,K,Kp]
+        if p.KP_influence == "linear":
+            infl = jnp.maximum(1.0 - d / extent, 0.0)
+        elif p.KP_influence == "constant":
+            infl = (d <= extent).astype(jnp.float32)
+        elif p.KP_influence == "gaussian":
+            sig = extent * 0.3
+            infl = jnp.exp(-(d**2) / (2 * sig**2))
+        else:
+            raise ValueError(p.KP_influence)
+        infl = infl * mask[..., None].astype(infl.dtype)
+        # distribute neighbor features onto kernel points, then one big
+        # [Kp*C -> C_out] matmul (MXU-friendly form of per-KP weights)
+        h = jnp.einsum("bnkp,bnkc->bnpc", infl.astype(f.dtype), f)
+        b, nq, kpn, c = h.shape
+        w = self.param(
+            "kernel_weights",
+            nn.initializers.lecun_normal(),
+            (kpn * c, self.out_channels), jnp.float32)
+        out = h.reshape(b, nq, kpn * c) @ w.astype(f.dtype)
+        if p.convolution_mode == "avg":
+            cnt = jnp.sum(mask, axis=-1, keepdims=True).astype(out.dtype)
+            out = out / jnp.maximum(cnt, 1.0)
+        return out
+
+    def _adaptive_weight(self, dp, f, mask, train):
+        from closerlook3d_tpu.models.nn_utils import ConvBN
+        p = self.config.adaptive_weight
+        c = f.shape[-1]
+        assert c % p.shared_channels == 0
+        cw = c // p.shared_channels
+        parts = [dp]
+        if "fi" in p.local_input_feature:
+            parts.append(f)
+        if "df" in p.local_input_feature:
+            parts.append(f - f[:, :, :1, :])
+        h = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else dp
+        for _ in range(max(p.fc_num - 1, 0)):
+            h = ConvBN(cw, self.config.batchnorm_momentum,
+                       dtype=self.dtype)(h, train=train)
+        w = nn.Dense(cw, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        if p.weight_softmax:
+            w32 = w.astype(jnp.float32)
+            w32 = jnp.where(mask[..., None], w32, -1e9)
+            w = jax.nn.softmax(w32, axis=2).astype(f.dtype)
+        if p.shared_channels > 1:
+            w = jnp.repeat(w, p.shared_channels, axis=-1)
+        return _REDUCTIONS[p.reduction](w * f, mask)

@@ -1,0 +1,91 @@
+"""Model factories mapping config -> (flax module, loss_fn).
+
+Parity: reference build_classification / build_multi_part_segmentation /
+build_scene_segmentation returning (model, criterion) (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Tuple
+
+import flax.linen as nn
+
+from closerlook3d_tpu.models.backbone import ResNetBackbone
+from closerlook3d_tpu.models.heads import (
+    ClassifierHead,
+    MultiPartSegHead,
+    SceneSegHead,
+)
+from closerlook3d_tpu.models.losses import (
+    label_smoothing_cross_entropy,
+    masked_cross_entropy,
+    multi_shape_cross_entropy,
+)
+
+
+class ClassificationModel(nn.Module):
+    config: Any
+
+    @nn.compact
+    def __call__(self, xyz, mask, features, train: bool = False):
+        stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
+        return ClassifierHead(self.config.num_classes, self.config)(
+            stages, train=train)
+
+
+class SceneSegModel(nn.Module):
+    config: Any
+
+    @nn.compact
+    def __call__(self, xyz, mask, features, train: bool = False):
+        stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
+        return SceneSegHead(self.config.num_classes, self.config)(
+            stages, train=train)
+
+
+class MultiPartSegModel(nn.Module):
+    config: Any
+
+    @nn.compact
+    def __call__(self, xyz, mask, features, train: bool = False):
+        stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
+        return MultiPartSegHead(tuple(self.config.num_parts), self.config)(
+            stages, train=train)
+
+
+def build_classification(cfg) -> Tuple[nn.Module, Callable]:
+    model = ClassificationModel(cfg)
+    loss_fn = functools.partial(
+        label_smoothing_cross_entropy, smoothing=cfg.label_smoothing)
+    return model, loss_fn
+
+
+def build_scene_segmentation(cfg) -> Tuple[nn.Module, Callable]:
+    model = SceneSegModel(cfg)
+    loss_fn = functools.partial(
+        masked_cross_entropy, smoothing=cfg.label_smoothing)
+    return model, loss_fn
+
+
+def build_multi_part_segmentation(cfg) -> Tuple[nn.Module, Callable]:
+    model = MultiPartSegModel(cfg)
+    loss_fn = functools.partial(
+        multi_shape_cross_entropy, num_parts=tuple(cfg.num_parts),
+        smoothing=cfg.label_smoothing)
+    return model, loss_fn
+
+
+_BUILDERS = {
+    "classification": build_classification,
+    "scene_segmentation": build_scene_segmentation,
+    "part_segmentation": build_multi_part_segmentation,
+}
+
+
+def build_model(cfg) -> Tuple[nn.Module, Callable]:
+    """Dispatch on cfg.task."""
+    try:
+        return _BUILDERS[cfg.task](cfg)
+    except KeyError:
+        raise ValueError(f"unknown task: {cfg.task}") from None

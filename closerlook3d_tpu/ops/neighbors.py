@@ -46,9 +46,22 @@ def pairwise_dist2(
 def _topk_neighbors(
     d2: jax.Array, nsample: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """k smallest entries along the last axis: (dist2 [..,K], idx [..,K])."""
-    neg, idx = jax.lax.top_k(-d2, nsample)
-    return -neg, idx.astype(jnp.int32)
+    """k smallest entries along the last axis: (dist2 [..,K], idx [..,K]).
+
+    When the support set is smaller than nsample (deep stages of small
+    clouds), extra slots repeat the nearest index at +BIG distance so the
+    radius test downstream masks them out.
+    """
+    k = min(nsample, d2.shape[-1])
+    neg, idx = jax.lax.top_k(-d2, k)
+    d2k, idx = -neg, idx.astype(jnp.int32)
+    if k < nsample:
+        pad = nsample - k
+        d2k = jnp.concatenate(
+            [d2k, jnp.full((*d2k.shape[:-1], pad), _BIG, d2k.dtype)], -1)
+        idx = jnp.concatenate(
+            [idx, jnp.repeat(idx[..., :1], pad, axis=-1)], -1)
+    return d2k, idx
 
 
 def _ball_query_block(

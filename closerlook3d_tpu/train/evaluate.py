@@ -1,0 +1,133 @@
+"""Task evaluators, including S3DIS sliding-sphere voting.
+
+Parity (SURVEY.md §3.3 evaluate_s3dis_dist.py): repeatedly extract
+low-potential spheres until every sub-point is covered ~num_votes times,
+accumulate softmax scores per sub-point (running vote), project to the
+full cloud by 1-NN (host KDTree), then confusion-matrix IoU. The per-
+sphere forward is the same jitted eval step as validation; only the vote
+bookkeeping lives on host.
+
+ShapeNetPart/PartNet evaluators compute the reference's instance/class
+mIoU and per-category part mIoU from whole-shape predictions.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import numpy as np
+from scipy.spatial import cKDTree
+
+from closerlook3d_tpu.data.loader import build_features
+from closerlook3d_tpu.train.metrics import (
+    iou_from_confusion,
+    partnet_miou,
+    shapenetpart_miou,
+)
+
+
+def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
+    """Full S3DIS protocol. Returns dict with mIoU/OA + per-class IoU.
+
+    eval_logits_fn(state, batch) -> [B, N, C] logits (jitted).
+    """
+    nroom = len(dataset.xyz)
+    scores = [np.zeros((len(x), dataset.num_classes), np.float32)
+              for x in dataset.xyz]
+    counts = [np.zeros(len(x), np.float32) for x in dataset.xyz]
+    # fresh potentials for deterministic covering
+    pots = [np.random.default_rng(7 + i).random(len(x)).astype(np.float32)
+            * 1e-3 for i, x in enumerate(dataset.xyz)]
+    dataset.potentials = pots
+
+    bs = cfg.batch_size
+    vote_round = 0
+    while True:
+        min_pot = min(p.min() for p in pots)
+        if min_pot >= cfg.num_votes:
+            break
+        samples = []
+        metas = []
+        for _ in range(bs):
+            room_idx, center, idx = dataset.pick_center()
+            s = dataset.extract_sphere(room_idx, center, idx, train=False)
+            samples.append(s)
+            metas.append((room_idx, s["point_idx"], s["mask"]))
+        batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        batch["features"] = build_features(batch, cfg.input_features)
+        device_batch = {k: batch[k] for k in
+                        ("xyz", "mask", "features", "labels")}
+        logits = np.asarray(jax.device_get(
+            eval_logits_fn(state, device_batch)))
+        prob = _softmax(logits)
+        for b, (room_idx, pidx, mask) in enumerate(metas):
+            v = mask
+            np.add.at(scores[room_idx], pidx[v], prob[b][v])
+            np.add.at(counts[room_idx], pidx[v], 1.0)
+        vote_round += 1
+        if logger and vote_round % 50 == 0:
+            logger.info("s3dis eval: %d sphere batches, min potential %.2f",
+                        vote_round, min_pot)
+
+    # project sub-cloud scores onto full clouds via 1-NN and accumulate
+    conf = np.zeros((dataset.num_classes, dataset.num_classes), np.float64)
+    sub_conf = np.zeros_like(conf)
+    for r in range(nroom):
+        seen = counts[r] > 0
+        sub_pred = scores[r].argmax(1)
+        lab = dataset.labels[r]
+        np.add.at(sub_conf, (lab[seen], sub_pred[seen]), 1)
+        full_xyz, full_labels = dataset.full_cloud(r)
+        nn = dataset.trees[r].query(full_xyz, k=1)[1]
+        full_pred = sub_pred[nn]
+        np.add.at(conf, (full_labels, full_pred), 1)
+    iou, miou, oa = iou_from_confusion(conf)
+    _, sub_miou, sub_oa = iou_from_confusion(sub_conf)
+    return {"miou": miou, "oa": oa, "iou_per_class": iou.tolist(),
+            "subcloud_miou": sub_miou, "subcloud_oa": sub_oa,
+            "sphere_batches": vote_round}
+
+
+def evaluate_partseg(cfg, dataset, state, eval_logits_fn, batch_iter):
+    """ShapeNetPart / PartNet whole-shape evaluation (masked argmax)."""
+    preds: List[np.ndarray] = []
+    labels: List[np.ndarray] = []
+    cats: List[int] = []
+    num_parts = list(cfg.num_parts)
+    starts = np.concatenate([[0], np.cumsum(num_parts)[:-1]]).astype(int)
+    for batch in batch_iter:
+        db = {k: batch[k] for k in ("xyz", "mask", "features", "labels",
+                                    "category")}
+        logits = np.asarray(jax.device_get(eval_logits_fn(state, db)))
+        keep = ~batch["batch_pad"]
+        for b in range(logits.shape[0]):
+            if not keep[b]:
+                continue
+            cat = int(batch["category"][b])
+            s, n = starts[cat], num_parts[cat]
+            sl = logits[b][:, s:s + n]  # restrict to category slice
+            pred = sl.argmax(-1) + s
+            m = batch["mask"][b]
+            preds.append(pred[m])
+            labels.append(batch["labels"][b][m])
+            cats.append(cat)
+    ins_miou, cls_miou = shapenetpart_miou(preds, labels, cats, num_parts)
+    # per-category confusions for the PartNet protocol
+    confs = []
+    for c in range(len(num_parts)):
+        s, n = starts[c], num_parts[c]
+        cc = np.zeros((n, n), np.float64)
+        for p, l, cat in zip(preds, labels, cats):
+            if cat == c:
+                np.add.at(cc, (l - s, p - s), 1)
+        confs.append(cc)
+    pn_miou = partnet_miou(confs)
+    return {"ins_miou": ins_miou, "cls_miou": cls_miou,
+            "category_miou": pn_miou}
+
+
+def _softmax(x):
+    x = x - x.max(-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(-1, keepdims=True)

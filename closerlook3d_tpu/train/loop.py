@@ -1,0 +1,173 @@
+"""Training engine: epoch loop, validation, checkpointing, logging.
+
+Parity (SURVEY.md §2.1 "Entry scripts" / §3.1 call stack): per-epoch
+train_one_epoch + periodic validate + checkpoint save/resume, driven by
+the same config fields (epochs, val/save intervals, schedules). The whole
+device-side step is one jitted function (train/step.py); this module is
+host orchestration only.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from closerlook3d_tpu.data import BatchIterator, build_dataset
+from closerlook3d_tpu.data.loader import feature_dim
+from closerlook3d_tpu.models import build_model
+from closerlook3d_tpu.parallel.mesh import make_mesh, shard_batch
+from closerlook3d_tpu.train.checkpoints import CheckpointManager
+from closerlook3d_tpu.train.metrics import AverageMeter, confusion_matrix, \
+    iou_from_confusion
+from closerlook3d_tpu.train.schedules import make_optimizer
+from closerlook3d_tpu.train.state import create_train_state, param_count
+from closerlook3d_tpu.train.step import make_eval_step, make_train_step
+from closerlook3d_tpu.utils.logger import setup_logger
+
+_DEVICE_KEYS = ("xyz", "mask", "features", "label", "labels", "category")
+
+
+def device_batch(batch, mesh):
+    return shard_batch({k: v for k, v in batch.items()
+                        if k in _DEVICE_KEYS}, mesh)
+
+
+class Trainer:
+    def __init__(self, cfg, workdir: str,
+                 load_path: Optional[str] = None):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.logger = setup_logger(workdir)
+
+        self.train_set = build_dataset(cfg, "train")
+        self.val_set = build_dataset(cfg, "test")
+        cfg.input_features_dim = feature_dim(cfg.input_features)
+        self.train_iter = BatchIterator(
+            self.train_set, cfg.batch_size, shuffle=True,
+            feature_spec=cfg.input_features, seed=cfg.rng_seed)
+        self.val_iter = BatchIterator(
+            self.val_set, cfg.batch_size, shuffle=False,
+            feature_spec=cfg.input_features, seed=cfg.rng_seed,
+            drop_last=False)
+
+        self.mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
+        self.model, self.loss_fn = build_model(cfg)
+        steps_per_epoch = max(len(self.train_iter), 1)
+        self.optimizer, self.lr_schedule = make_optimizer(
+            cfg, steps_per_epoch)
+
+        sample = next(iter(self.val_iter))
+        sample = device_batch(sample, self.mesh)
+        rng = jax.random.PRNGKey(cfg.rng_seed)
+        self.state = create_train_state(
+            cfg, self.model, self.optimizer, rng, sample, self.mesh)
+        self.logger.info(
+            "model built: %s / %s — %.2fM params",
+            cfg.task, cfg.local_aggregation_type,
+            param_count(self.state) / 1e6)
+
+        self.train_step = make_train_step(
+            self.model, self.loss_fn, cfg.task, self.mesh,
+            donate=cfg.donate_state)
+        self.eval_step = make_eval_step(
+            self.model, self.loss_fn, cfg.task, self.mesh)
+
+        self.ckpt = CheckpointManager(f"{workdir}/ckpt",
+                                      keep=cfg.keep_checkpoints)
+        self.start_epoch = cfg.start_epoch
+        restored, extra, step = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = restored
+            self.start_epoch = int(extra["epoch"]) + 1 if extra else \
+                cfg.start_epoch
+            self.logger.info("resumed from step %s (epoch %s)", step,
+                             self.start_epoch)
+        elif load_path:
+            from closerlook3d_tpu.train.checkpoints import CheckpointManager \
+                as CM
+            other = CM(load_path)
+            restored, extra, step = other.restore(self.state)
+            if restored is not None:
+                self.state = restored
+                self.logger.info("loaded weights from %s @ %s",
+                                 load_path, step)
+
+        self.rng = jax.random.PRNGKey(cfg.rng_seed + 1)
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self, epoch: int):
+        cfg = self.cfg
+        self.train_iter.set_epoch(epoch)
+        loss_m, acc_m, time_m = AverageMeter(), AverageMeter(), AverageMeter()
+        end = time.perf_counter()
+        for it, batch in enumerate(self.train_iter):
+            db = device_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(self.state, db, self.rng)
+            if (it + 1) % cfg.log_interval == 0 or it + 1 == len(self.train_iter):
+                jax.block_until_ready(metrics)
+                loss_m.update(float(metrics["loss"]))
+                acc_m.update(float(metrics["acc"]))
+                time_m.update(time.perf_counter() - end)
+                end = time.perf_counter()
+                lr = float(self.lr_schedule(int(self.state.step)))
+                self.logger.info(
+                    "epoch %d it %d/%d loss %.4f acc %.4f lr %.5f",
+                    epoch, it + 1, len(self.train_iter),
+                    loss_m.avg, acc_m.avg, lr)
+        return loss_m.avg, acc_m.avg
+
+    def validate(self, epoch: int):
+        cfg = self.cfg
+        loss_m, acc_m = AverageMeter(), AverageMeter()
+        conf = None
+        for batch in self.val_iter:
+            db = device_batch(batch, self.mesh)
+            logits, metrics = self.eval_step(self.state, db)
+            keep = ~batch["batch_pad"]
+            loss_m.update(float(metrics["loss"]), int(keep.sum()))
+            if cfg.task == "classification":
+                pred = np.asarray(jax.device_get(logits)).argmax(-1)
+                acc_m.update(
+                    float((pred[keep] == batch["label"][keep]).mean()),
+                    int(keep.sum()))
+            else:
+                pred = np.asarray(jax.device_get(logits)).argmax(-1)
+                m = batch["mask"] & keep[:, None]
+                nclass = logits.shape[-1]
+                c = np.asarray(confusion_matrix(
+                    pred, batch["labels"], nclass, m))
+                conf = c if conf is None else conf + c
+                acc_m.update(float((pred == batch["labels"])[m].mean()),
+                             int(m.sum()))
+        if conf is not None:
+            _, miou, oa = iou_from_confusion(conf)
+            self.logger.info("val epoch %d: loss %.4f acc %.4f mIoU %.4f "
+                             "OA %.4f", epoch, loss_m.avg, acc_m.avg, miou,
+                             oa)
+            return {"loss": loss_m.avg, "acc": acc_m.avg, "miou": miou,
+                    "oa": oa}
+        self.logger.info("val epoch %d: loss %.4f acc %.4f",
+                         epoch, loss_m.avg, acc_m.avg)
+        return {"loss": loss_m.avg, "acc": acc_m.avg}
+
+    def fit(self):
+        cfg = self.cfg
+        best = 0.0
+        for epoch in range(self.start_epoch, cfg.epochs + 1):
+            t0 = time.perf_counter()
+            loss, acc = self.train_one_epoch(epoch)
+            self.logger.info("epoch %d done in %.1fs: loss %.4f acc %.4f",
+                             epoch, time.perf_counter() - t0, loss, acc)
+            if epoch % cfg.val_interval == 0 or epoch == cfg.epochs:
+                stats = self.validate(epoch)
+                key = "miou" if "miou" in stats else "acc"
+                best = max(best, stats[key])
+            if epoch % cfg.save_interval == 0 or epoch == cfg.epochs:
+                self.ckpt.save(int(self.state.step), self.state,
+                               extra={"epoch": epoch})
+        self.ckpt.wait()
+        self.logger.info("training complete; best %.4f", best)
+        return best

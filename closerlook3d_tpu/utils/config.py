@@ -68,6 +68,7 @@ def default_config() -> ConfigDict:
     c.npoints = []  # per-stage point counts; [] -> N/4 per stage
     c.sampling = "fps"  # fps|grid  (shape tasks: fps, scene tasks: grid)
     c.dropout_rate = 0.5
+    c.cls_head_dims = [512, 256]  # classifier FC tower widths
 
     # ---- local aggregation ---------------------------------------------
     c.local_aggregation_type = "pospool"
