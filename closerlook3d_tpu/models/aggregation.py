@@ -101,13 +101,16 @@ def sinusoidal_embedding(dp_hat: jax.Array, channels: int,
     [..., 3] -> [..., channels]; channels must be divisible by 6
     (3 coords x sin/cos x channels//6 frequencies). alpha/beta follow the
     PosPool paper's sin/cos variant (scale 100, temperature 1000) [L].
+
+    Canonical layout (shared with the Pallas kernel): coordinate-major
+    blocks of [sin(freq_0..n), cos(freq_0..n)].
     """
     assert channels % 6 == 0, "sin_cos PosPool needs channels % 6 == 0"
     ndim = channels // 6
     exps = jnp.arange(ndim, dtype=jnp.float32) / ndim
     freq = beta**exps  # [ndim]
     ang = alpha * dp_hat[..., None] / freq  # [..., 3, ndim]
-    emb = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [...,3,ndim,2]
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
     return emb.reshape(*dp_hat.shape[:-1], channels)
 
 
@@ -123,11 +126,40 @@ class LocalAggregation(nn.Module):
     config: Any  # full experiment config (reads local_aggregation_type + subtree)
     dtype: Any = jnp.float32
 
+    def _use_fused_pospool(self, support_features) -> bool:
+        """Fused Pallas kernel eligibility (ops/pallas/aggregation.py)."""
+        cfg = self.config
+        p = cfg.pospool
+        mode_ok = ((p.position_embedding == "xyz"
+                    and support_features.shape[-1] % 3 == 0)
+                   or (p.position_embedding == "sin_cos"
+                       and support_features.shape[-1] % 6 == 0))
+        scale_ok = support_features.shape[1] <= 4096  # O(Ns)/query kernel
+        if cfg.use_pallas == "never":
+            return False
+        if cfg.use_pallas == "always":
+            return mode_ok and p.reduction in ("avg", "sum")
+        import jax
+        on_tpu = jax.default_backend() not in ("cpu",)
+        return (on_tpu and mode_ok and scale_ok
+                and p.reduction in ("avg", "sum"))
+
     @nn.compact
     def __call__(self, query_xyz, support_xyz, support_features,
                  neighbor_idx, neighbor_mask, train: bool = False):
         cfg = self.config
         agg_type = cfg.local_aggregation_type
+
+        if agg_type == "pospool" and self._use_fused_pospool(support_features):
+            from closerlook3d_tpu.ops.pallas.aggregation import pospool_fused
+            out = pospool_fused(
+                query_xyz.astype(jnp.float32),
+                support_xyz.astype(jnp.float32),
+                support_features, neighbor_idx, neighbor_mask,
+                float(self.radius), cfg.pospool.position_embedding,
+                cfg.pospool.reduction)
+            return self._maybe_output_conv(out, cfg.pospool, train)
+
         f = group_features(support_features, neighbor_idx)  # [B,Nq,K,C]
         pj = group_xyz(support_xyz, neighbor_idx)  # [B,Nq,K,3]
         dp = (pj - query_xyz[:, :, None, :]) / jnp.float32(self.radius)
@@ -148,9 +180,13 @@ class LocalAggregation(nn.Module):
         else:
             raise ValueError(f"unknown local_aggregation_type: {agg_type}")
 
-        if getattr(ocfg, "output_conv", False) or out.shape[-1] != self.out_channels:
+        return self._maybe_output_conv(out, ocfg, train)
+
+    def _maybe_output_conv(self, out, ocfg, train):
+        if (getattr(ocfg, "output_conv", False)
+                or out.shape[-1] != self.out_channels):
             from closerlook3d_tpu.models.nn_utils import ConvBN
-            out = ConvBN(self.out_channels, cfg.batchnorm_momentum,
+            out = ConvBN(self.out_channels, self.config.batchnorm_momentum,
                          dtype=self.dtype)(out, train=train)
         return out
 
