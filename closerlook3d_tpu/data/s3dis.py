@@ -21,7 +21,14 @@ import os
 from typing import List, Optional
 
 import numpy as np
-from scipy.spatial import cKDTree
+
+try:  # native C++ kd-tree (N8); scipy is the fallback
+    from closerlook3d_tpu.native import HAVE_NATIVE, KDTree as cKDTree
+
+    if not HAVE_NATIVE:
+        raise ImportError
+except ImportError:
+    from scipy.spatial import cKDTree
 
 from closerlook3d_tpu.data import transforms as T
 
