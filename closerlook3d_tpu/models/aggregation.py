@@ -126,22 +126,33 @@ class LocalAggregation(nn.Module):
     config: Any  # full experiment config (reads local_aggregation_type + subtree)
     dtype: Any = jnp.float32
 
-    def _use_fused_pospool(self, support_features) -> bool:
-        """Fused Pallas kernel eligibility (ops/pallas/aggregation.py)."""
+    def _fused_enabled(self, support_features) -> bool:
+        """Pallas eligibility: config switch, platform, O(Ns) scale cap."""
         cfg = self.config
-        p = cfg.pospool
+        if cfg.use_pallas == "never":
+            return False
+        if cfg.use_pallas == "always":
+            return True
+        import jax
+        on_tpu = jax.default_backend() not in ("cpu",)
+        return on_tpu and support_features.shape[1] <= 4096
+
+    def _use_fused_pospool(self, support_features) -> bool:
+        p = self.config.pospool
         mode_ok = ((p.position_embedding == "xyz"
                     and support_features.shape[-1] % 3 == 0)
                    or (p.position_embedding == "sin_cos"
                        and support_features.shape[-1] % 6 == 0))
-        scale_ok = support_features.shape[1] <= 4096  # O(Ns)/query kernel
-        if cfg.use_pallas == "never":
-            return False
-        if cfg.use_pallas == "always":
-            return mode_ok and p.reduction in ("avg", "sum")
-        import jax
-        on_tpu = jax.default_backend() not in ("cpu",)
-        return (on_tpu and mode_ok and scale_ok
+        return (self._fused_enabled(support_features) and mode_ok
+                and p.reduction in ("avg", "sum"))
+
+    def _use_fused_adaptive(self, support_features) -> bool:
+        """The paper's default adaptive config (single linear FC on dp,
+        no softmax) factorizes exactly through neighborhood moments."""
+        p = self.config.adaptive_weight
+        return (self._fused_enabled(support_features)
+                and p.local_input_feature == "dp" and p.fc_num == 1
+                and not p.weight_softmax
                 and p.reduction in ("avg", "sum"))
 
     @nn.compact
@@ -159,6 +170,20 @@ class LocalAggregation(nn.Module):
                 float(self.radius), cfg.pospool.position_embedding,
                 cfg.pospool.reduction)
             return self._maybe_output_conv(out, cfg.pospool, train)
+
+        if (agg_type == "adaptive_weight"
+                and self._use_fused_adaptive(support_features)):
+            out = self._adaptive_weight_fused(
+                query_xyz, support_xyz, support_features, neighbor_idx,
+                neighbor_mask)
+            return self._maybe_output_conv(out, cfg.adaptive_weight, train)
+
+        if (agg_type == "pointwisemlp"
+                and self._use_fused_pointwisemlp(support_features)):
+            out = self._pointwisemlp_factorized(
+                query_xyz, support_xyz, support_features, neighbor_idx,
+                neighbor_mask, train)
+            return self._maybe_output_conv(out, cfg.pointwisemlp, train)
 
         f = group_features(support_features, neighbor_idx)  # [B,Nq,K,C]
         pj = group_xyz(support_xyz, neighbor_idx)  # [B,Nq,K,3]
@@ -210,7 +235,9 @@ class LocalAggregation(nn.Module):
         return _REDUCTIONS[p.reduction](enc, mask)
 
     def _pointwisemlp(self, dp, f, mask, train):
-        from closerlook3d_tpu.models.nn_utils import ConvBN
+        """Gather-based path. Masked BN over neighbor slots (see
+        nn_utils.MaskedBatchNorm for the deviation note vs torch BN)."""
+        from closerlook3d_tpu.models.nn_utils import MaskedBatchNorm
         p = self.config.pointwisemlp
         parts = []
         if "dp" in p.feature_type:
@@ -218,16 +245,94 @@ class LocalAggregation(nn.Module):
         if "fi" in p.feature_type:
             parts.append(f)
         if "df" in p.feature_type:
-            fi = f[:, :, :1, :] if f.shape[2] > 0 else f
             # f_i = the query's own feature; neighbor slot 0 is the nearest
             # neighbor (self for same-resolution blocks). Reference uses the
             # center feature; nearest-neighbor is the masked-set equivalent.
-            parts.append(f - fi)
+            parts.append(f - f[:, :, :1, :])
         h = jnp.concatenate(parts, axis=-1)
-        for _ in range(p.num_mlps):
-            h = ConvBN(self.out_channels, self.config.batchnorm_momentum,
-                       dtype=self.dtype)(h, train=train)
+        for i in range(p.num_mlps):
+            w = self.param(f"pw_kernel_{i}", nn.initializers.lecun_normal(),
+                           (h.shape[-1], self.out_channels), jnp.float32)
+            h = jnp.dot(h, w.astype(h.dtype),
+                        precision=(jax.lax.Precision.HIGHEST
+                                   if h.dtype == jnp.float32 else None))
+            h = MaskedBatchNorm(
+                self.out_channels, self.config.batchnorm_momentum,
+                dtype=self.dtype, name=f"pw_bn_{i}")(h, mask, train)
+            h = nn.relu(h)
         return _REDUCTIONS[p.reduction](h, mask)
+
+    def _use_fused_pointwisemlp(self, support_features) -> bool:
+        """The paper's best config (one FC, max pool) factorizes: the FC
+        collapses to per-point projections; see ops/pallas/gather_reduce."""
+        p = self.config.pointwisemlp
+        return (self._fused_enabled(support_features)
+                and p.num_mlps == 1 and p.reduction == "max")
+
+    def _pointwisemlp_factorized(self, query_xyz, support_xyz,
+                                 support_features, idx, mask, train):
+        from closerlook3d_tpu.models.nn_utils import MaskedBatchNorm
+        from closerlook3d_tpu.ops.pallas.gather_reduce import (
+            gather_sub_minmax, neighborhood_sum)
+
+        cfg = self.config
+        p = cfg.pointwisemlp
+        c = support_features.shape[-1]
+        cout = self.out_channels
+        ft = p.feature_type
+        din = ((3 if "dp" in ft else 0) + (c if "fi" in ft else 0)
+               + (c if "df" in ft else 0))
+        w = self.param("pw_kernel_0", nn.initializers.lecun_normal(),
+                       (din, cout), jnp.float32)
+        bn = MaskedBatchNorm(cout, cfg.batchnorm_momentum,
+                             dtype=jnp.float32, name="pw_bn_0")
+        inv_r = jnp.float32(1.0 / float(self.radius))
+        hi = jax.lax.Precision.HIGHEST
+        f32 = support_features.astype(jnp.float32)
+
+        g = jnp.zeros((*support_features.shape[:2], cout), jnp.float32)
+        d = jnp.zeros((*query_xyz.shape[:2], cout), jnp.float32)
+        off = 0
+        if "dp" in ft:
+            wdp = w[0:3]
+            g = g + jnp.dot(support_xyz.astype(jnp.float32) * inv_r, wdp,
+                            precision=hi)
+            d = d + jnp.dot(query_xyz.astype(jnp.float32) * inv_r, wdp,
+                            precision=hi)
+            off = 3
+        if "fi" in ft:
+            g = g + jnp.dot(f32, w[off:off + c], precision=hi)
+            off += c
+        if "df" in ft:
+            wdf = w[off:off + c]
+            g = g + jnp.dot(f32, wdf, precision=hi)
+            f0 = jnp.take_along_axis(f32, idx[:, :, 0][:, :, None], axis=1)
+            d = d + jnp.dot(f0, wdf, precision=hi)
+
+        if train:
+            s = neighborhood_sum(
+                jnp.concatenate([g, g * g], axis=-1), idx, mask)
+            s1, s2 = s[..., :cout], s[..., cout:]
+            cnt = jnp.sum(mask, -1).astype(jnp.float32)[..., None]
+            total = jnp.maximum(jnp.sum(cnt), 1.0)
+            mean = jnp.sum(s1 - cnt * d, axis=(0, 1)) / total
+            ex2 = jnp.sum(s2 - 2.0 * d * s1 + cnt * d * d,
+                          axis=(0, 1)) / total
+            var = jnp.maximum(ex2 - mean**2, 0.0)
+            eff_s, eff_b = bn.stats_affine(mean, var, True)
+        else:
+            eff_s, eff_b = bn.stats_affine(None, None, False)
+
+        hmax, hmin = gather_sub_minmax(
+            g.astype(self.dtype), d.astype(self.dtype), idx, mask)
+        # monotonicity: max_k relu(s*h+b) = relu(s*max h + b) for s>=0,
+        # relu(s*min h + b) for s<0
+        eff_s32 = eff_s.astype(jnp.float32)
+        h = jnp.where(eff_s32 >= 0, eff_s32 * hmax, eff_s32 * hmin) \
+            + eff_b.astype(jnp.float32)
+        out = nn.relu(h)
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)
+        return jnp.where(any_valid, out, 0.0).astype(self.dtype)
 
     def _pseudo_grid(self, dp, f, mask):
         p = self.config.pseudo_grid
@@ -261,6 +366,38 @@ class LocalAggregation(nn.Module):
             cnt = jnp.sum(mask, axis=-1, keepdims=True).astype(out.dtype)
             out = out / jnp.maximum(cnt, 1.0)
         return out
+
+    def _adaptive_weight_fused(self, query_xyz, support_xyz,
+                               support_features, idx, mask):
+        """Factorized adaptive weight (single linear FC on dp, no softmax).
+
+        y = R_k((W dp + b) ⊙ f) = Σ_d W_d ⊙ R(dp_d f) + b ⊙ R(f): exactly
+        the neighborhood-moments kernel contracted with the FC params. The
+        nn.Dense is instantiated identically to the jnp path (same param
+        names); its kernel/bias are read out via basis vectors.
+        """
+        from closerlook3d_tpu.ops.pallas.moments import neighborhood_moments
+        p = self.config.adaptive_weight
+        c = support_features.shape[-1]
+        assert c % p.shared_channels == 0
+        cw = c // p.shared_channels
+        dense = nn.Dense(cw, dtype=self.dtype, param_dtype=jnp.float32)
+        basis = jnp.concatenate(
+            [jnp.zeros((1, 3)), jnp.eye(3)], axis=0).astype(self.dtype)
+        wb = dense(basis)  # [4, cw]: row 0 = bias, rows 1..3 = W_d + bias
+        bias, wd = wb[0], wb[1:] - wb[0]
+
+        mom = neighborhood_moments(
+            query_xyz.astype(jnp.float32), support_xyz.astype(jnp.float32),
+            support_features, idx, mask, float(self.radius), p.reduction)
+        m0, mx, my, mz = jnp.split(mom, 4, axis=-1)
+
+        def expand(v):  # [cw] -> [C] (channel c uses row c // shared)
+            return (jnp.repeat(v, p.shared_channels)
+                    if p.shared_channels > 1 else v)
+
+        return (expand(bias) * m0 + expand(wd[0]) * mx
+                + expand(wd[1]) * my + expand(wd[2]) * mz)
 
     def _adaptive_weight(self, dp, f, mask, train):
         from closerlook3d_tpu.models.nn_utils import ConvBN

@@ -113,6 +113,13 @@ def ball_query(
       mask [B, Nq, K] bool — True where the slot is a real in-radius
            neighbor of a real query point.
     """
+    from closerlook3d_tpu.ops.dispatch import prefer_pallas
+    if prefer_pallas():
+        from closerlook3d_tpu.ops.pallas.neighbors import ball_query_pallas
+        return ball_query_pallas(query_xyz, support_xyz, radius, nsample,
+                                 query_mask=query_mask,
+                                 support_mask=support_mask)
+
     bias = None
     if support_mask is not None:
         bias = jnp.where(support_mask, 0.0, _BIG).astype(jnp.float32)

@@ -41,6 +41,12 @@ def furthest_point_sample(
     Returns:
       idx [B, npoint] int32, sample_mask [B, npoint] bool.
     """
+    from closerlook3d_tpu.ops.dispatch import prefer_pallas
+    if prefer_pallas():
+        from closerlook3d_tpu.ops.pallas.sampling import (
+            furthest_point_sample_pallas)
+        return furthest_point_sample_pallas(xyz, npoint, mask)
+
     b, n, _ = xyz.shape
     x = xyz.astype(jnp.float32)
     if mask is None:

@@ -1,0 +1,143 @@
+"""Factorized point-wise MLP vs the gather-based jnp path (interpret mode)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from closerlook3d_tpu.models.aggregation import LocalAggregation
+from closerlook3d_tpu.ops import ball_query
+from closerlook3d_tpu.ops.pallas.gather_reduce import (
+    gather_sub_minmax, neighborhood_sum)
+from closerlook3d_tpu.utils.config import load_config
+
+B, N, K, C, COUT = 2, 64, 6, 8, 16
+RADIUS = 0.5
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("CL3D_PALLAS_INTERPRET", "1")
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(9)
+    xyz = jnp.array(rng.uniform(-1, 1, size=(B, N, 3)).astype(np.float32))
+    feats = jnp.array(rng.normal(size=(B, N, C)).astype(np.float32))
+    mask = np.ones((B, N), bool)
+    mask[0, 50:] = False
+    mask = jnp.array(mask)
+    idx, nmask = ball_query(xyz, xyz, RADIUS, K,
+                            query_mask=mask, support_mask=mask)
+    return xyz, feats, idx, nmask
+
+
+def test_neighborhood_sum(data):
+    xyz, feats, idx, nmask = data
+    got = np.asarray(neighborhood_sum(feats, idx, nmask))
+    f = np.asarray(feats)
+    i = np.asarray(idx)
+    m = np.asarray(nmask)
+    for b in range(B):
+        for q in range(0, N, 7):
+            ref = (f[b, i[b, q]] * m[b, q][:, None]).sum(0)
+            np.testing.assert_allclose(got[b, q], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_sub_minmax_fwd_bwd(data):
+    xyz, feats, idx, nmask = data
+    rng = np.random.default_rng(11)
+    g = jnp.array(rng.normal(size=(B, N, COUT)).astype(np.float32))
+    d = jnp.array(rng.normal(size=(B, N, COUT)).astype(np.float32))
+
+    def ref_fn(g, d):
+        gf = jnp.take_along_axis(
+            g, idx.reshape(B, -1)[..., None], axis=1).reshape(B, N, K, COUT)
+        h = gf - d[:, :, None, :]
+        big = jnp.float32(3e38)
+        hmax = jnp.max(jnp.where(nmask[..., None], h, -big), axis=2)
+        hmin = jnp.min(jnp.where(nmask[..., None], h, big), axis=2)
+        return hmax, hmin
+
+    rmax, rmin = ref_fn(g, d)
+    gmax, gmin = gather_sub_minmax(g, d, idx, nmask)
+    valid = np.asarray(jnp.any(nmask, -1))
+    np.testing.assert_allclose(np.asarray(gmax)[valid],
+                               np.asarray(rmax)[valid], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gmin)[valid],
+                               np.asarray(rmin)[valid], rtol=1e-5)
+
+    def loss_ref(g, d):
+        hmax, hmin = ref_fn(g, d)
+        v = jnp.any(nmask, -1, keepdims=True)
+        return jnp.sum(jnp.where(v, hmax**2 + 0.5 * hmin, 0.0))
+
+    def loss_fused(g, d):
+        hmax, hmin = gather_sub_minmax(g, d, idx, nmask)
+        v = jnp.any(nmask, -1, keepdims=True)
+        return jnp.sum(jnp.where(v, hmax**2 + 0.5 * hmin, 0.0))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(g, d)
+    gf = jax.grad(loss_fused, argnums=(0, 1))(g, d)
+    for a, b_ in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("feature_type", ["dp_fi_df", "dp", "dp_fi"])
+@pytest.mark.parametrize("train", [False, True])
+def test_fused_pwmlp_matches_jnp(data, feature_type, train):
+    xyz, feats, idx, nmask = data
+    outs, stats = {}, {}
+    for flag in ("never", "always"):
+        cfg = load_config()
+        cfg.local_aggregation_type = "pointwisemlp"
+        cfg.pointwisemlp.feature_type = feature_type
+        cfg.use_pallas = flag
+        cfg.precision = "f32"
+        la = LocalAggregation(COUT, RADIUS, cfg)
+        variables = la.init(jax.random.PRNGKey(0), xyz, xyz, feats, idx,
+                            nmask)
+        if train:
+            out, mutated = la.apply(variables, xyz, xyz, feats, idx, nmask,
+                                    train=True, mutable=["batch_stats"])
+            stats[flag] = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        else:
+            out = la.apply(variables, xyz, xyz, feats, idx, nmask)
+        outs[flag] = np.asarray(out)
+    np.testing.assert_allclose(outs["always"], outs["never"],
+                               rtol=2e-4, atol=2e-5)
+    if train:
+        for a, b_ in zip(stats["never"], stats["always"]):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_fused_pwmlp_gradients_match(data):
+    xyz, feats, idx, nmask = data
+
+    def make(flag):
+        cfg = load_config()
+        cfg.local_aggregation_type = "pointwisemlp"
+        cfg.use_pallas = flag
+        cfg.precision = "f32"
+        la = LocalAggregation(COUT, RADIUS, cfg)
+        variables = la.init(jax.random.PRNGKey(0), xyz, xyz, feats, idx,
+                            nmask)
+        def loss(params, f):
+            out, _ = la.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                xyz, xyz, f, idx, nmask, train=True,
+                mutable=["batch_stats"])
+            return jnp.sum(out**2)
+        return variables["params"], loss
+
+    p_ref, loss_ref = make("never")
+    p_fus, loss_fus = make("always")
+    gr = jax.grad(loss_ref, argnums=(0, 1))(p_ref, feats)
+    gf = jax.grad(loss_fus, argnums=(0, 1))(p_fus, feats)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gr),
+                     jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
