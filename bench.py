@@ -34,28 +34,63 @@ def main():
     from closerlook3d_tpu.train.step import make_eval_step, make_train_step
     from closerlook3d_tpu.utils.config import load_config
 
-    num_points = int(os.environ.get("BENCH_POINTS", 1024))
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    task = os.environ.get("BENCH_TASK", "cls")  # cls | seg
     op = os.environ.get("BENCH_OP", "pospool")
     steps = int(os.environ.get("BENCH_STEPS", 20))
 
     cfg = load_config()
     cfg.local_aggregation_type = op
-    cfg.task = "classification"
-    cfg.num_points = num_points
-    cfg.num_classes = 40
-    cfg.npoints = []
-    cfg.batch_size = batch
     cfg.precision = "bf16"
-
-    rng = np.random.default_rng(0)
-    xyz = rng.uniform(-1, 1, size=(batch, num_points, 3)).astype(np.float32)
-    host_batch = {
-        "xyz": xyz,
-        "mask": np.ones((batch, num_points), bool),
-        "features": xyz.copy(),
-        "label": rng.integers(0, 40, size=(batch,)).astype(np.int32),
-    }
+    cfg.use_pallas = os.environ.get("BENCH_USE_PALLAS", "auto")
+    # OS-entropy seed: the execution stack replays recorded results for
+    # content-identical programs (deterministic fixed-seed runs would
+    # re-measure a cache, not the hardware)
+    rng = np.random.default_rng()
+    if task == "cls":
+        # ModelNet40 headline shape
+        num_points = int(os.environ.get("BENCH_POINTS", 1024))
+        batch = int(os.environ.get("BENCH_BATCH", 32))
+        cfg.task = "classification"
+        cfg.num_points = num_points
+        cfg.num_classes = 40
+        cfg.npoints = []
+        cfg.batch_size = batch
+        xyz = rng.uniform(-1, 1, size=(batch, num_points, 3)).astype(
+            np.float32)
+        host_batch = {
+            "xyz": xyz,
+            "mask": np.ones((batch, num_points), bool),
+            "features": xyz.copy(),
+            "label": rng.integers(0, 40, size=(batch,)).astype(np.int32),
+        }
+    else:
+        # S3DIS headline shape: 15k-point spheres, grid downsampling,
+        # U-Net decoder, 13 classes
+        num_points = int(os.environ.get("BENCH_POINTS", 15360))
+        batch = int(os.environ.get("BENCH_BATCH", 4))
+        cfg.task = "scene_segmentation"
+        cfg.num_points = num_points
+        cfg.num_classes = 13
+        cfg.sampling = "grid"
+        cfg.radius = 0.1
+        cfg.sampleDl = 0.08
+        cfg.npoints = [num_points, 4096, 1152, 304, 88]
+        cfg.batch_size = batch
+        cfg.input_features = "ones,rgb,height"
+        xyz = rng.uniform(-2, 2, size=(batch, num_points, 3)).astype(
+            np.float32)
+        feats = np.concatenate(
+            [np.ones((batch, num_points, 1), np.float32),
+             rng.uniform(0, 1, size=(batch, num_points, 3)).astype(
+                 np.float32),
+             xyz[..., 2:3]], axis=-1)
+        host_batch = {
+            "xyz": xyz,
+            "mask": np.ones((batch, num_points), bool),
+            "features": feats,
+            "labels": rng.integers(0, 13, size=(batch, num_points)).astype(
+                np.int32),
+        }
 
     n_chips = len(jax.devices())
     mesh = make_mesh(data_parallel=n_chips, model_parallel=1)
@@ -68,21 +103,36 @@ def main():
     eval_step = make_eval_step(model, loss_fn, cfg.task, mesh)
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile. NOTE: on this execution stack
+    # jax.block_until_ready can return before remote execution finishes;
+    # only a host fetch (float()) truly synchronizes — measured 226s of
+    # "blocked" warmup still in flight. All sync points below fetch.
     state, m = train_step(state, dbatch, key)
-    jax.block_until_ready(m)
+    float(m["loss"])
+    # train: the state chains step-to-step (distinct content, no replay);
+    # pipelined dispatch matches production steady state; one final fetch
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = train_step(state, dbatch, key)
-    jax.block_until_ready(m)
+    float(m["loss"])
     train_dt = (time.perf_counter() - t0) / steps
 
-    logits, m = eval_step(state, dbatch)
-    jax.block_until_ready(logits)
+    # infer: repeated identical calls would replay — cycle over distinct
+    # perturbed batches
+    import jax.numpy as jnp
+    ebatches = []
+    for i in range(steps):
+        eb = dict(dbatch)
+        eb["xyz"] = dbatch["xyz"] + jnp.float32(
+            rng.uniform(1e-6, 1e-5, size=()))
+        eb["features"] = dbatch["features"]
+        ebatches.append(eb)
+    logits, m = eval_step(state, ebatches[0])
+    float(m["loss"])
     t0 = time.perf_counter()
-    for _ in range(steps):
-        logits, m = eval_step(state, dbatch)
-    jax.block_until_ready(logits)
+    for i in range(steps):
+        logits, m = eval_step(state, ebatches[i % len(ebatches)])
+    float(m["loss"])
     infer_dt = (time.perf_counter() - t0) / steps
 
     pts = batch * num_points
@@ -105,8 +155,9 @@ def main():
         "infer_points_per_sec_per_chip": round(infer_pps, 1),
         "train_step_ms": round(train_dt * 1e3, 2),
         "infer_step_ms": round(infer_dt * 1e3, 2),
-        "config": {"op": op, "points": num_points, "batch": batch,
-                   "chips": n_chips, "precision": cfg.precision},
+        "config": {"task": task, "op": op, "points": num_points,
+                   "batch": batch, "chips": n_chips,
+                   "precision": cfg.precision},
     }))
 
 

@@ -135,6 +135,9 @@ class LocalAggregation(nn.Module):
             return True
         import jax
         on_tpu = jax.default_backend() not in ("cpu",)
+        # the multi-hot kernels cost O(K*Nq*Ns) VPU compares: measured
+        # faster than the XLA gather up to ~4k support points, slower at
+        # S3DIS scale (15k) — the windowed/sorted variant will lift this
         return on_tpu and support_features.shape[1] <= 4096
 
     def _use_fused_pospool(self, support_features) -> bool:
@@ -185,9 +188,14 @@ class LocalAggregation(nn.Module):
                 neighbor_mask, train)
             return self._maybe_output_conv(out, cfg.pointwisemlp, train)
 
+        # two gathers: features in their own dtype, coordinates in f32
+        # (bf16 absolute coordinates would corrupt dp — differences of
+        # metre-scale values at ~0.1 radius; a combined f32 gather moves
+        # 2x the feature bytes and measured slower at S3DIS scale)
         f = group_features(support_features, neighbor_idx)  # [B,Nq,K,C]
-        pj = group_xyz(support_xyz, neighbor_idx)  # [B,Nq,K,3]
-        dp = (pj - query_xyz[:, :, None, :]) / jnp.float32(self.radius)
+        pj = group_xyz(support_xyz.astype(jnp.float32), neighbor_idx)
+        dp = (pj - query_xyz[:, :, None, :].astype(jnp.float32)) \
+            / jnp.float32(self.radius)
         dp = dp.astype(f.dtype)
 
         if agg_type == "pospool":

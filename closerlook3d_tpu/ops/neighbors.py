@@ -158,6 +158,12 @@ def knn(
     Invalid support points (mask False) are pushed to +BIG distance, so
     they are only returned when a cloud has fewer than k valid points.
     """
+    from closerlook3d_tpu.ops.dispatch import prefer_pallas
+    if prefer_pallas():
+        from closerlook3d_tpu.ops.pallas.neighbors import knn_pallas
+        return knn_pallas(query_xyz, support_xyz, k,
+                          support_mask=support_mask)
+
     d2 = pairwise_dist2(query_xyz, support_xyz)
     if support_mask is not None:
         d2 = d2 + jnp.where(support_mask, 0.0, _BIG)[:, None, :]

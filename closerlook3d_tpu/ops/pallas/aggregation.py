@@ -4,32 +4,38 @@ Replaces the reference's 3-kernel CUDA sequence (group_points -> operator
 math -> reduction; SURVEY.md §3.2 "THE kernel to fuse on TPU") with one
 Pallas program per query tile. Nothing [B,N,K,C]-shaped ever touches HBM.
 
+Layout rule (shared by every kernel in this package): per-tile values
+are TRANSPOSED — channels/coords on sublanes, queries on lanes — so that
+
+  * the masked multi-hot / one-hot matrices are [Ns, T] (built by a
+    fori_loop over the K slots with dynamic SUBLANE slices of the
+    transposed [K, T] index block — lane-dynamic slicing is unsupported
+    and unrolled loops explode Mosaic's VMEM liveness);
+  * every gather is a dot_general contracting the Ns axis
+    ([Ns,C] x [Ns,T] -> [C,T]);
+  * per-slot masks are [1, T] rows that broadcast over sublanes;
+  * outputs leave the kernel as [B, C, Nq] and are transposed once by
+    XLA outside.
+
 Two formulations, chosen by position-embedding mode:
 
-* ``xyz`` (PosPool's parameter-free headline variant) — fully factorized:
-    y[t, c in group d] = (1/cnt_t) * Σ_s M[t,s] * Δ_d[t,s] * f[s,c]
-  where M[t,s] = Σ_k mask_k * [idx_k == s] is the masked multi-hot
-  neighborhood matrix (built on the VPU in K accumulation steps) and
-  Δ_d[t,s] = (sxyz[s,d] - qxyz[t,d])/r is an outer-difference broadcast.
-  The whole operator is then THREE [T,Ns]x[Ns,C/3] matmuls — K times
-  fewer MACs than gathering, and no coordinate gather at all.
-
-* ``sin_cos`` — per-slot loop: one-hot gather of features+coords per
-  neighbor slot k on the MXU (exact: single 1.0*value products), encode,
-  masked accumulate.
+* ``xyz`` — fully factorized:
+    y[c in group d, t] = (1/cnt_t) * Σ_s M_T[s,t] * Δ_d[s,t] * f[s,c]
+  with M_T the masked multi-hot and Δ_d[s,t] = (sxyz[s,d]-qxyz[t,d])/r
+  an outer-difference broadcast: three [Ns,C/3]x[Ns,T] matmuls, K times
+  fewer MACs than gathering, no coordinate gather at all.
+* ``sin_cos`` — per-slot fori loop: one-hot gathers of features+coords
+  (exact: single 1.0*value products), sinusoidal encode, masked
+  accumulate.
 
 Backward passes are the transposed matmuls (scatter-add onto support
 features), accumulated across query tiles in the output block.
 
 Precision notes (hard-won, see tests):
-* f32 MXU matmuls default to bf16 passes — HIGHEST is required wherever
-  f32 operands carry real precision (Δ matrices, f32 features);
+* f32 MXU matmuls default to bf16 passes — HIGHEST wherever f32
+  operands carry real precision (Δ matrices, f32 features);
 * Mosaic rejects HIGHEST on bf16 operands — bf16 one-hot gathers are
-  exact anyway (each output element is one 1.0 * value product).
-
-Scale: per-query cost is O(Ns), so these kernels target shape-task
-sizes (Ns <= ~4096); scene scales keep the XLA path until the windowed
-variant lands.
+  exact anyway.
 """
 
 from __future__ import annotations
@@ -43,50 +49,98 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HI = jax.lax.Precision.HIGHEST
+_NS_CHUNK = 2048  # support-axis chunk for the multi-hot kernels
 
-# interpret mode lets the CPU test suite validate these kernels exactly
-# (no TPU required); enabled via env, read at trace time
+
+def _pad_support(support_xyz, features):
+    """Pad the support axis to a _NS_CHUNK multiple (indices in idx are
+    always < ns, so padded rows never match any one-hot)."""
+    ns = support_xyz.shape[1]
+    if ns <= _NS_CHUNK:
+        return support_xyz.astype(jnp.float32), features, ns
+    pad = (-ns) % _NS_CHUNK
+    if pad == 0:
+        return support_xyz.astype(jnp.float32), features, ns
+    sx = jnp.pad(support_xyz.astype(jnp.float32),
+                 ((0, 0), (0, pad), (0, 0)), constant_values=1e9)
+    f = jnp.pad(features, ((0, 0), (0, pad), (0, 0)))
+    return sx, f, sx.shape[1]
+
+
 def _interpret() -> bool:
+    """Interpret mode lets the CPU test suite validate kernels exactly."""
     return os.environ.get("CL3D_PALLAS_INTERPRET", "0") == "1"
 
 
 def _tile_for(nq: int, ns: int, mode: str = "xyz") -> int:
-    """Query-tile size: keep per-tile VMEM working set in budget.
-
-    xyz mode holds one [T, Ns] f32 multi-hot (+ one delta); the unrolled
-    per-slot sin_cos kernels keep several [T, Ns] temporaries live, so
-    they get a 4x smaller tile.
-    """
-    budget = max(2 * 1024 * 1024 // (4 * ns), 8)
-    if mode == "sin_cos":
-        budget = max(budget // 4, 8)
+    """Query-tile (lane) count: two [Ns, T] f32 live buffers in ~8MB."""
+    del mode  # fori-loop kernels have uniform liveness now
+    budget = max((4 * 1024 * 1024) // (4 * ns), 8)
     t = 1 << (budget.bit_length() - 1)
     nq_pow = 1 << (nq - 1).bit_length()
-    return max(8, min(512, t, nq_pow))
+    # Mosaic requires lane-dim blocks divisible by 128 (or full-array)
+    return max(128, min(256, t, nq_pow)) if nq >= 128 else         max(8, min(nq_pow, 256))
 
 
-def _multi_hot(idx_ref, mask_ref, t: int, k: int, ns: int):
-    """M[t, s] = sum_k mask[t,k] * [idx[t,k] == s] — masked multi-hot."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, ns), 1)
-    m = jnp.zeros((t, ns), jnp.float32)
-    for kk in range(k):
-        oh = (iota == idx_ref[0][:, kk:kk + 1]) & mask_ref[0][:, kk:kk + 1]
-        m = m + oh.astype(jnp.float32)
-    return m
+def _pad_queries(x, t):
+    """Pad dim 1 (queries) to a multiple of t."""
+    nq = x.shape[1]
+    pad = (-nq) % t
+    if pad == 0:
+        return x, nq
+    widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, widths), nq
 
 
-def _sincos_weights(dp_k, channels: int):
-    """Canonical sin_cos layout: coord-major [sin(f0..n), cos(f0..n)]."""
+def _prep_tq(query_xyz, idx, mask, tile):
+    """Host-side: pad queries then transpose to lane-major blocks."""
+    qp, nq0 = _pad_queries(query_xyz.astype(jnp.float32), tile)
+    ip, _ = _pad_queries(idx, tile)
+    mp, _ = _pad_queries(mask, tile)
+    qT = jnp.swapaxes(qp, 1, 2)  # [B, 3, Nqp]
+    iT = jnp.swapaxes(ip, 1, 2)  # [B, K, Nqp]
+    mT = jnp.swapaxes(mp, 1, 2).astype(jnp.int32)  # [B, K, Nqp]
+    return qT, iT, mT, nq0, qp.shape[1]
+
+
+def _row(ref, kk):
+    """Dynamic sublane slice: row kk of a [1, K, T] ref -> [1, T] value.
+
+    Must index the REF (dynamic slices of loaded values are rejected).
+    """
+    return ref[0, pl.ds(kk, 1), :]
+
+
+def _multi_hot_T(idxT_ref, maskT_ref, k: int, ns: int, t: int):
+    """M_T[s, t] = Σ_k mask[k,t] * [idx[k,t] == s] — [Ns, T] f32."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
+
+    def body(kk, m):
+        oh = (iota == _row(idxT_ref, kk)) & (_row(maskT_ref, kk) != 0)
+        return m + oh.astype(jnp.float32)
+
+    return jax.lax.fori_loop(0, k, body, jnp.zeros((ns, t), jnp.float32))
+
+
+def _gather_T(ohT, src, precision):
+    """[Ns, T] one/multi-hot x [Ns, C] -> [C, T] (contract Ns)."""
+    return jax.lax.dot_general(
+        src, ohT, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+def _sincos_T(dpT, channels: int):
+    """Sinusoidal weights [C, T] from dp [3, T] (coord-major sin|cos)."""
     ndim = channels // 6
     exps = jax.lax.broadcasted_iota(
-        jnp.int32, (1, ndim), 1).astype(jnp.float32) / ndim
-    freq = 1000.0**exps
+        jnp.int32, (ndim, 1), 0).astype(jnp.float32) / ndim
+    freq = 1000.0**exps  # [ndim, 1]
     parts = []
     for d in range(3):
-        ang = 100.0 * dp_k[:, d:d + 1] / freq
+        ang = 100.0 * dpT[d:d + 1, :] / freq  # [ndim, T]
         parts.append(jnp.sin(ang))
         parts.append(jnp.cos(ang))
-    return jnp.concatenate(parts, axis=-1)
+    return jnp.concatenate(parts, axis=0)  # [C, T]
 
 
 # --------------------------------------------------------------------------
@@ -94,127 +148,160 @@ def _sincos_weights(dp_k, channels: int):
 # --------------------------------------------------------------------------
 
 
-def _xyz_fwd_kernel(qxyz_ref, sxyzt_ref, feats_ref, idx_ref, mask_ref,
+def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
+    """Per-support-chunk masked multi-hot [cs, T] (chunk begins at start)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cs, t), 0) + start
+
+    def body(kk, m):
+        oh = (iota == _row(idxT_ref, kk)) & (_row(maskT_ref, kk) != 0)
+        return m + oh.astype(jnp.float32)
+
+    return jax.lax.fori_loop(0, k, body, jnp.zeros((cs, t), jnp.float32))
+
+
+def _xyz_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
                     out_ref, *, k: int, ns: int, channels: int,
                     radius: float, reduction: str):
-    t = qxyz_ref.shape[1]
+    t = qxyzT_ref.shape[2]
     g = channels // 3
-    m = _multi_hot(idx_ref, mask_ref, t, k, ns)  # [T, Ns]
-    feats = feats_ref[0].astype(jnp.float32)  # [Ns, C]
+    cs = min(ns, _NS_CHUNK)
     inv_r = 1.0 / radius
+    qT = qxyzT_ref[0]  # [3, T]
 
-    outs = []
-    for d in range(3):
-        delta = (sxyzt_ref[0][d:d + 1, :] - qxyz_ref[0][:, d:d + 1]) * inv_r
-        w = m * delta  # [T, Ns]
-        outs.append(jax.lax.dot_general(
-            w, feats[:, d * g:(d + 1) * g],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI))
-    acc = jnp.concatenate(outs, axis=-1)  # [T, C]
+    def chunk_body(ci, carry):
+        acc, cnt = carry
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+        cnt = cnt + jnp.sum(m, axis=0, keepdims=True)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+        fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+        parts = []
+        for d in range(3):
+            delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r  # [cs, T]
+            w = m * delta
+            parts.append(jax.lax.dot_general(
+                fch[:, d * g:(d + 1) * g], w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI))
+        return acc + jnp.concatenate(parts, axis=0), cnt
+
+    acc, cnt = jax.lax.fori_loop(
+        0, ns // cs, chunk_body,
+        (jnp.zeros((channels, t), jnp.float32),
+         jnp.zeros((1, t), jnp.float32)))
     if reduction == "avg":
-        cnt = jnp.sum(m, axis=1, keepdims=True)
         acc = acc / jnp.maximum(cnt, 1.0)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _xyz_bwd_kernel(qxyz_ref, sxyzt_ref, idx_ref, mask_ref, dy_ref,
+def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
                     dfeats_ref, *, k: int, ns: int, channels: int,
                     radius: float, reduction: str):
     tile = pl.program_id(1)
-    t = qxyz_ref.shape[1]
+    t = qxyzT_ref.shape[2]
     g = channels // 3
-    m = _multi_hot(idx_ref, mask_ref, t, k, ns)
+    cs = min(ns, _NS_CHUNK)
     inv_r = 1.0 / radius
-
-    dy = dy_ref[0].astype(jnp.float32)  # [T, C]
-    if reduction == "avg":
-        cnt = jnp.sum(m, axis=1, keepdims=True)
-        dy = dy / jnp.maximum(cnt, 1.0)
-
-    grads = []
-    for d in range(3):
-        delta = (sxyzt_ref[0][d:d + 1, :] - qxyz_ref[0][:, d:d + 1]) * inv_r
-        w = m * delta  # [T, Ns]
-        grads.append(jax.lax.dot_general(
-            w, dy[:, d * g:(d + 1) * g],
-            dimension_numbers=(((0,), (0,)), ((), ())),  # contract T
-            preferred_element_type=jnp.float32, precision=_HI))  # [Ns, g]
-    df = jnp.concatenate(grads, axis=-1)  # [Ns, C]
+    qT = qxyzT_ref[0]
 
     @pl.when(tile == 0)
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    dfeats_ref[0] += df.astype(dfeats_ref.dtype)
+    dy0 = dyT_ref[0].astype(jnp.float32)  # [C, T]
+    if reduction == "avg":
+        # masked neighbor count needs a full pass over the support
+        def cnt_body(ci, cnt):
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, ci * cs)
+            return cnt + jnp.sum(m, axis=0, keepdims=True)
+        cnt = jax.lax.fori_loop(0, ns // cs, cnt_body,
+                                jnp.zeros((1, t), jnp.float32))
+        dy0 = dy0 / jnp.maximum(cnt, 1.0)
+
+    def chunk_body(ci, _):
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]
+        grads = []
+        for d in range(3):
+            delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
+            w = m * delta  # [cs, T]
+            grads.append(jax.lax.dot_general(
+                w, dy0[d * g:(d + 1) * g, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI))
+        df = jnp.concatenate(grads, axis=-1)  # [cs, C]
+        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
 # --------------------------------------------------------------------------
-# sin_cos mode: per-slot one-hot gathers
+# sin_cos mode: per-slot one-hot gathers (fori)
 # --------------------------------------------------------------------------
 
 
-def _sc_fwd_kernel(qxyz_ref, sxyz_ref, feats_ref, idx_ref, mask_ref,
+def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
                    out_ref, *, k: int, ns: int, channels: int,
                    radius: float, reduction: str):
-    t = qxyz_ref.shape[1]
-    qxyz = qxyz_ref[0]
-    sxyz = sxyz_ref[0]
+    t = qxyzT_ref.shape[2]
+    qT = qxyzT_ref[0]  # [3, T]
+    sxyz = sxyz_ref[0]  # [Ns, 3]
     feats = feats_ref[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, ns), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
+    fprec = _HI if feats.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    inv_r = 1.0 / radius
 
-    acc = jnp.zeros((t, channels), jnp.float32)
-    cnt = jnp.zeros((t, 1), jnp.float32)
-    for kk in range(k):
-        oh = (iota == idx_ref[0][:, kk:kk + 1]).astype(jnp.float32)
-        pj = jax.lax.dot_general(
-            oh, sxyz, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)  # [T, 3]
-        gf = jax.lax.dot_general(
-            oh.astype(feats.dtype), feats,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HI if feats.dtype == jnp.float32 else
-            jax.lax.Precision.DEFAULT)  # [T, C]
-        dp = (pj - qxyz) * (1.0 / radius)
-        w = _sincos_weights(dp, channels)
-        m = mask_ref[0][:, kk:kk + 1].astype(jnp.float32)
-        acc = acc + gf * w * m
-        cnt = cnt + m
+    def body(kk, carry):
+        acc, cnt = carry
+        oh = (iota == _row(idxT_ref, kk)).astype(jnp.float32)  # [Ns,T]
+        pjT = _gather_T(oh, sxyz, _HI)  # [3, T]
+        gfT = _gather_T(oh.astype(feats.dtype), feats, fprec)  # [C, T]
+        dpT = (pjT - qT) * inv_r
+        w = _sincos_T(dpT, channels)  # [C, T]
+        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)  # [1, T]
+        return acc + gfT * w * mk, cnt + mk
+
+    acc, cnt = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros((channels, t), jnp.float32),
+                     jnp.zeros((1, t), jnp.float32)))
     if reduction == "avg":
         acc = acc / jnp.maximum(cnt, 1.0)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _sc_bwd_kernel(qxyz_ref, sxyz_ref, idx_ref, mask_ref, dy_ref,
+def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
                    dfeats_ref, *, k: int, ns: int, channels: int,
                    radius: float, reduction: str):
     tile = pl.program_id(1)
-    t = qxyz_ref.shape[1]
-    qxyz = qxyz_ref[0]
+    t = qxyzT_ref.shape[2]
+    qT = qxyzT_ref[0]
     sxyz = sxyz_ref[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, ns), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
+    inv_r = 1.0 / radius
 
-    dy = dy_ref[0].astype(jnp.float32)
+    dy = dyT_ref[0].astype(jnp.float32)  # [C, T]
     if reduction == "avg":
-        cnt = jnp.zeros((t, 1), jnp.float32)
-        for kk in range(k):
-            cnt += mask_ref[0][:, kk:kk + 1].astype(jnp.float32)
+        def cbody(kk, cnt):
+            return cnt + (_row(maskT_ref, kk) != 0).astype(jnp.float32)
+        cnt = jax.lax.fori_loop(0, k, cbody,
+                                jnp.zeros((1, t), jnp.float32))
         dy = dy / jnp.maximum(cnt, 1.0)
 
-    df = jnp.zeros((ns, channels), jnp.float32)
-    for kk in range(k):
-        oh = (iota == idx_ref[0][:, kk:kk + 1]).astype(jnp.float32)
-        pj = jax.lax.dot_general(
-            oh, sxyz, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
-        dp = (pj - qxyz) * (1.0 / radius)
-        w = _sincos_weights(dp, channels)
-        m = mask_ref[0][:, kk:kk + 1].astype(jnp.float32)
-        dgf = w * m * dy
-        df = df + jax.lax.dot_general(
-            oh, dgf, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+    def body(kk, df):
+        oh = (iota == _row(idxT_ref, kk)).astype(jnp.float32)
+        pjT = _gather_T(oh, sxyz, _HI)
+        dpT = (pjT - qT) * inv_r
+        w = _sincos_T(dpT, channels)
+        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)
+        dgf = w * mk * dy  # [C, T]
+        return df + jax.lax.dot_general(
+            oh, dgf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)  # [Ns, C]
+
+    df = jax.lax.fori_loop(0, k, body,
+                           jnp.zeros((ns, channels), jnp.float32))
 
     @pl.when(tile == 0)
     def _():
@@ -228,29 +315,18 @@ def _sc_bwd_kernel(qxyz_ref, sxyz_ref, idx_ref, mask_ref, dy_ref,
 # --------------------------------------------------------------------------
 
 
-def _pad_queries(x, t):
-    nq = x.shape[1]
-    pad = (-nq) % t
-    if pad == 0:
-        return x, nq
-    widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
-    return jnp.pad(x, widths), nq
-
-
-def _specs(tile, ns, c, k, xyz_transposed: bool):
-    qspec = pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+def _common_specs(tile, ns, c, k):
+    qspec = pl.BlockSpec((1, 3, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM)
-    if xyz_transposed:
-        sspec = pl.BlockSpec((1, 3, ns), lambda bi, ti: (bi, 0, 0),
-                             memory_space=pltpu.VMEM)
-    else:
-        sspec = pl.BlockSpec((1, ns, 3), lambda bi, ti: (bi, 0, 0),
-                             memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, ns, 3), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
     fspec = pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
-    ispec = pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
+    ispec = pl.BlockSpec((1, k, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM)
-    return qspec, sspec, fspec, ispec
+    oTspec = pl.BlockSpec((1, c, tile), lambda bi, ti: (bi, 0, ti),
+                          memory_space=pltpu.VMEM)
+    return qspec, sspec, fspec, ispec, oTspec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -271,40 +347,35 @@ def pospool_fused(query_xyz, support_xyz, features, idx, mask,
 def _pospool_call(query_xyz, support_xyz, features, idx, mask,
                   radius, mode, reduction):
     b, nq, _ = query_xyz.shape
+    support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
     tile = _tile_for(nq, ns, mode)
-    qp, nq0 = _pad_queries(query_xyz, tile)
-    ip, _ = _pad_queries(idx, tile)
-    mp, _ = _pad_queries(mask, tile)
-    ntile = qp.shape[1] // tile
+    qT, iT, mT, nq0, nqp = _prep_tq(query_xyz, idx, mask, tile)
+    ntile = nqp // tile
 
     if mode == "xyz":
-        kern = functools.partial(
-            _xyz_fwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
-            reduction=reduction)
-        sx = jnp.swapaxes(support_xyz, 1, 2)  # [B, 3, Ns]
+        kern_fn = _xyz_fwd_kernel
     elif mode == "sin_cos":
-        kern = functools.partial(
-            _sc_fwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
-            reduction=reduction)
-        sx = support_xyz
+        kern_fn = _sc_fwd_kernel
     else:
         raise ValueError(mode)
-
-    qspec, sspec, fspec, ispec = _specs(tile, ns, c, k, mode == "xyz")
-    out = pl.pallas_call(
+    kern = functools.partial(
+        kern_fn, k=k, ns=ns, channels=c, radius=float(radius),
+        reduction=reduction)
+    qspec, sspec, fspec, ispec, oTspec = _common_specs(tile, ns, c, k)
+    outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
         in_specs=[qspec, sspec, fspec, ispec, ispec],
-        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, qp.shape[1], c), features.dtype),
+        out_specs=oTspec,
+        out_shape=jax.ShapeDtypeStruct((b, c, nqp), features.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qp, sx, features, ip, mp)
-    return out[:, :nq0]
+    )(qT, support_xyz.astype(jnp.float32), features, iT, mT)
+    return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
 def _pospool_fwd(query_xyz, support_xyz, features, idx, mask,
@@ -317,42 +388,35 @@ def _pospool_fwd(query_xyz, support_xyz, features, idx, mask,
 def _pospool_bwd(radius, mode, reduction, res, dy):
     query_xyz, support_xyz, features, idx, mask = res
     b = query_xyz.shape[0]
+    ns0 = features.shape[1]
+    support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
     tile = _tile_for(query_xyz.shape[1], ns, mode)
-    qp, _ = _pad_queries(query_xyz, tile)
-    ip, _ = _pad_queries(idx, tile)
-    mp, _ = _pad_queries(mask, tile)
+    qT, iT, mT, _, nqp = _prep_tq(query_xyz, idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
-    ntile = qp.shape[1] // tile
+    dyT = jnp.swapaxes(dyp, 1, 2)  # [B, C, Nqp]
+    ntile = nqp // tile
 
-    if mode == "xyz":
-        kern = functools.partial(
-            _xyz_bwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
-            reduction=reduction)
-        sx = jnp.swapaxes(support_xyz, 1, 2)
-    else:
-        kern = functools.partial(
-            _sc_bwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
-            reduction=reduction)
-        sx = support_xyz
-
-    qspec, sspec, _, ispec = _specs(tile, ns, c, k, mode == "xyz")
-    dyspec = pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                          memory_space=pltpu.VMEM)
+    kern_fn = _xyz_bwd_kernel if mode == "xyz" else _sc_bwd_kernel
+    kern = functools.partial(
+        kern_fn, k=k, ns=ns, channels=c, radius=float(radius),
+        reduction=reduction)
+    qspec, sspec, fspec, ispec, oTspec = _common_specs(tile, ns, c, k)
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[qspec, sspec, ispec, ispec, dyspec],
-        out_specs=pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[qspec, sspec, ispec, ispec, oTspec],
+        out_specs=fspec,
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qp, sx, ip, mp, dyp)
-    return (jnp.zeros_like(query_xyz), jnp.zeros_like(support_xyz),
-            dfeats, None, None)
+    )(qT, support_xyz.astype(jnp.float32), iT, mT, dyT)
+    return (jnp.zeros_like(query_xyz),
+            jnp.zeros((b, ns0, 3), query_xyz.dtype),
+            dfeats[:, :ns0], None, None)
 
 
 pospool_fused.defvjp(_pospool_fwd, _pospool_bwd)

@@ -1,23 +1,22 @@
 """Fused gather-reduce kernels for the factorized point-wise MLP.
 
-The paper's best point-wise MLP config (dp_fi_df, one FC, max pool)
-factors exactly: the FC splits by input rows into support-side and
-query-side projections,
+Transposed layout (see aggregation.py). The paper's best point-wise MLP
+config (dp_fi_df, one FC, max pool) factors exactly:
 
     h[t, k] = G[idx[t,k]] - D[t]
-    G = f @ (W_fi + W_df) + sxyz @ W_dp / r
-    D = f_nearest @ W_df + qxyz @ W_dp / r
+    G = f @ (W_fi + W_df) + sxyz @ W_dp / r       (support-side)
+    D = f_nearest @ W_df + qxyz @ W_dp / r        (query-side)
 
 so the per-neighbor matmul collapses to per-point matmuls (K x fewer
 FLOPs) and the only irregular work left is a gather + subtract + reduce:
 
-* ``neighborhood_sum``      — Σ_k masked G[idx] (a single multi-hot
-  matmul; feeds the analytic masked-BN statistics);
-* ``gather_sub_minmax``     — masked max AND min of h over the slots
-  (both, so the BN affine — whose scale may be negative — plus ReLU can
-  be applied OUTSIDE the kernel through monotonicity).
+* ``neighborhood_sum``  — Σ_k masked G[idx] (one multi-hot matmul; feeds
+  the analytic masked-BN statistics);
+* ``gather_sub_minmax`` — masked max AND min of h over the slots (both,
+  so the BN affine — whose scale may be negative — plus ReLU apply
+  OUTSIDE the kernel through monotonicity).
 
-Both have custom VJPs (transposed multi-hot / argmax-routed matmuls).
+Both have custom VJPs (transposed multi-hot / extremum-routed matmuls).
 """
 
 from __future__ import annotations
@@ -30,14 +29,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
+    _NS_CHUNK,
+    _gather_T,
     _interpret,
-    _multi_hot,
+    _multi_hot_chunk,
     _pad_queries,
+    _pad_support,
+    _row,
     _tile_for,
 )
 
 _HI = jax.lax.Precision.HIGHEST
-_BIG = 3e38  # python float: jnp constants may not be closure-captured in kernels
+_BIG = 3e38  # python float: jnp constants may not be closure-captured
+
+
+def _prep_iq(idx, mask, tile):
+    ip, nq0 = _pad_queries(idx, tile)
+    mp, _ = _pad_queries(mask, tile)
+    iT = jnp.swapaxes(ip, 1, 2)  # [B, K, Nqp]
+    mT = jnp.swapaxes(mp, 1, 2).astype(jnp.int32)
+    return iT, mT, nq0, ip.shape[1]
+
+
+def _ispec(tile, k):
+    return pl.BlockSpec((1, k, tile), lambda bi, ti: (bi, 0, ti),
+                        memory_space=pltpu.VMEM)
+
+
+def _gspec(ns, c):
+    return pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _qTspec(tile, c):
+    return pl.BlockSpec((1, c, tile), lambda bi, ti: (bi, 0, ti),
+                        memory_space=pltpu.VMEM)
 
 
 # --------------------------------------------------------------------------
@@ -45,32 +71,47 @@ _BIG = 3e38  # python float: jnp constants may not be closure-captured in kernel
 # --------------------------------------------------------------------------
 
 
-def _sum_fwd_kernel(feats_ref, idx_ref, mask_ref, out_ref,
+def _sum_fwd_kernel(feats_ref, idxT_ref, maskT_ref, out_ref,
                     *, k: int, ns: int):
-    t = idx_ref.shape[1]
-    m = _multi_hot(idx_ref, mask_ref, t, k, ns)
-    feats = feats_ref[0].astype(jnp.float32)
-    out = jax.lax.dot_general(
-        m, feats, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)
+    t = idxT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
+
+    def chunk_body(ci, acc):
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+        fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            fch, m, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
+
+    c = out_ref.shape[1]
+    out = jax.lax.fori_loop(0, ns // cs, chunk_body,
+                            jnp.zeros((c, t), jnp.float32))
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _sum_bwd_kernel(idx_ref, mask_ref, dy_ref, dfeats_ref,
+def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, dfeats_ref,
                     *, k: int, ns: int):
     tile = pl.program_id(1)
-    t = idx_ref.shape[1]
-    m = _multi_hot(idx_ref, mask_ref, t, k, ns)
-    df = jax.lax.dot_general(
-        m, dy_ref[0].astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)
+    t = idxT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
 
     @pl.when(tile == 0)
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    dfeats_ref[0] += df.astype(dfeats_ref.dtype)
+    dy = dyT_ref[0].astype(jnp.float32)
+
+    def chunk_body(ci, _):
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+        df = jax.lax.dot_general(
+            m, dy, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)
+        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
 @jax.custom_vjp
@@ -81,31 +122,26 @@ def neighborhood_sum(features, idx, mask):
 
 def _sum_call(features, idx, mask):
     b, nq, k = idx.shape
+    _, features, _ = _pad_support(
+        jnp.zeros((features.shape[0], features.shape[1], 3),
+                  jnp.float32), features)
     ns, c = features.shape[1], features.shape[2]
     tile = _tile_for(nq, ns)
-    ip, nq0 = _pad_queries(idx, tile)
-    mp, _ = _pad_queries(mask, tile)
-    ntile = ip.shape[1] // tile
+    iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
+    ntile = nqp // tile
     kern = functools.partial(_sum_fwd_kernel, k=k, ns=ns)
-    out = pl.pallas_call(
+    outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[
-            pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ip.shape[1], c), features.dtype),
+        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k)],
+        out_specs=_qTspec(tile, c),
+        out_shape=jax.ShapeDtypeStruct((b, c, nqp), features.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(features, ip, mp)
-    return out[:, :nq0]
+    )(features, iT, mT)
+    return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
 def _sum_fwd(features, idx, mask):
@@ -115,32 +151,29 @@ def _sum_fwd(features, idx, mask):
 def _sum_bwd(res, dy):
     features, idx, mask = res
     b, nq, k = idx.shape
+    ns0 = features.shape[1]
+    _, features, _ = _pad_support(
+        jnp.zeros((features.shape[0], features.shape[1], 3),
+                  jnp.float32), features)
     ns, c = features.shape[1], features.shape[2]
     tile = _tile_for(nq, ns)
-    ip, _ = _pad_queries(idx, tile)
-    mp, _ = _pad_queries(mask, tile)
+    iT, mT, _, nqp = _prep_iq(idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
-    ntile = ip.shape[1] // tile
+    dyT = jnp.swapaxes(dyp, 1, 2)
+    ntile = nqp // tile
     kern = functools.partial(_sum_bwd_kernel, k=k, ns=ns)
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[
-            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[_ispec(tile, k), _ispec(tile, k), _qTspec(tile, c)],
+        out_specs=_gspec(ns, c),
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(ip, mp, dyp)
-    return dfeats, None, None
+    )(iT, mT, dyT)
+    return dfeats[:, :ns0], None, None
 
 
 neighborhood_sum.defvjp(_sum_fwd, _sum_bwd)
@@ -151,60 +184,63 @@ neighborhood_sum.defvjp(_sum_fwd, _sum_bwd)
 # --------------------------------------------------------------------------
 
 
-def _mm_fwd_kernel(g_ref, d_ref, idx_ref, mask_ref, max_ref, min_ref,
+def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, max_ref, min_ref,
                    *, k: int, ns: int):
-    t = idx_ref.shape[1]
-    g = g_ref[0]
-    d = d_ref[0].astype(jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, ns), 1)
-    hmax = jnp.full(d.shape, -_BIG)
-    hmin = jnp.full(d.shape, _BIG)
-    for kk in range(k):
-        oh = (iota == idx_ref[0][:, kk:kk + 1]).astype(g.dtype)
-        gf = jax.lax.dot_general(
-            oh, g, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HI if g.dtype == jnp.float32 else
-            jax.lax.Precision.DEFAULT)
-        h = gf - d
-        m = mask_ref[0][:, kk:kk + 1]
-        hmax = jnp.where(m, jnp.maximum(hmax, h), hmax)
-        hmin = jnp.where(m, jnp.minimum(hmin, h), hmin)
+    t = idxT_ref.shape[2]
+    g = g_ref[0]  # [Ns, C]
+    dT = dT_ref[0].astype(jnp.float32)  # [C, T]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
+    fprec = _HI if g.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+    def body(kk, carry):
+        hmax, hmin = carry
+        oh = (iota == _row(idxT_ref, kk)).astype(g.dtype)
+        gf = _gather_T(oh, g, fprec)  # [C, T]
+        h = gf - dT
+        mk = _row(maskT_ref, kk) != 0  # [1, T]
+        hmax = jnp.where(mk, jnp.maximum(hmax, h), hmax)
+        hmin = jnp.where(mk, jnp.minimum(hmin, h), hmin)
+        return hmax, hmin
+
+    hmax, hmin = jax.lax.fori_loop(
+        0, k, body, (jnp.full(dT.shape, -_BIG), jnp.full(dT.shape, _BIG)))
     max_ref[0] = hmax.astype(max_ref.dtype)
     min_ref[0] = hmin.astype(min_ref.dtype)
 
 
-def _mm_bwd_kernel(g_ref, d_ref, idx_ref, mask_ref, hmax_ref, hmin_ref,
-                   dmax_ref, dmin_ref, dg_ref, dd_ref, *, k: int, ns: int):
+def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
+                   hminT_ref, dmaxT_ref, dminT_ref, dg_ref, ddT_ref,
+                   *, k: int, ns: int):
     tile = pl.program_id(1)
-    t = idx_ref.shape[1]
+    t = idxT_ref.shape[2]
     g = g_ref[0]
-    d = d_ref[0].astype(jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, ns), 1)
-    hmax = hmax_ref[0].astype(jnp.float32)
-    hmin = hmin_ref[0].astype(jnp.float32)
-    dmax = dmax_ref[0].astype(jnp.float32)
-    dmin = dmin_ref[0].astype(jnp.float32)
+    dT = dT_ref[0].astype(jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
+    fprec = _HI if g.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    hmax = hmaxT_ref[0].astype(jnp.float32)
+    hmin = hminT_ref[0].astype(jnp.float32)
+    dmax = dmaxT_ref[0].astype(jnp.float32)
+    dmin = dminT_ref[0].astype(jnp.float32)
 
-    dg = jnp.zeros((ns, dd_ref.shape[2]), jnp.float32)
-    dd = jnp.zeros(d.shape, jnp.float32)
-    for kk in range(k):
-        oh = (iota == idx_ref[0][:, kk:kk + 1]).astype(g.dtype)
-        gf = jax.lax.dot_general(
-            oh, g, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_HI if g.dtype == jnp.float32 else
-            jax.lax.Precision.DEFAULT)
-        h = gf - d
-        m = mask_ref[0][:, kk:kk + 1].astype(jnp.float32)
-        contrib = m * ((h == hmax) * dmax + (h == hmin) * dmin)  # [T, C]
+    def body(kk, carry):
+        dg, dd = carry
+        oh = (iota == _row(idxT_ref, kk)).astype(g.dtype)
+        gf = _gather_T(oh, g, fprec)
+        h = gf - dT
+        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)
+        contrib = mk * ((h == hmax) * dmax + (h == hmin) * dmin)  # [C, T]
         dd = dd - contrib
         dg = dg + jax.lax.dot_general(
             oh.astype(jnp.float32), contrib,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+            dimension_numbers=(((1,), (1,)), ((), ())),  # contract T
+            preferred_element_type=jnp.float32, precision=_HI)  # [Ns, C]
+        return dg, dd
 
-    dd_ref[0] = dd.astype(dd_ref.dtype)
+    c = dT.shape[0]
+    dg, dd = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros((ns, c), jnp.float32),
+                     jnp.zeros(dT.shape, jnp.float32)))
+    ddT_ref[0] = dd.astype(ddT_ref.dtype)
 
     @pl.when(tile == 0)
     def _():
@@ -224,40 +260,32 @@ def gather_sub_minmax(g, d, idx, mask):
     return _mm_call(g, d, idx, mask)
 
 
-def _mm_specs(tile, ns, c, k):
-    gspec = pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM)
-    qspec = pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM)
-    ispec = pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM)
-    return gspec, qspec, ispec
-
-
 def _mm_call(g, d, idx, mask):
     b, nq, k = idx.shape
     ns, c = g.shape[1], g.shape[2]
-    tile = _tile_for(nq, ns, mode="sin_cos")  # per-slot loop: small tiles
-    dp_, nq0 = _pad_queries(d, tile)
-    ip, _ = _pad_queries(idx, tile)
-    mp, _ = _pad_queries(mask, tile)
-    ntile = ip.shape[1] // tile
+    tile = _tile_for(nq, ns)
+    iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
+    dp_, _ = _pad_queries(d, tile)
+    dT = jnp.swapaxes(dp_, 1, 2)  # [B, C, Nqp]
+    ntile = nqp // tile
     kern = functools.partial(_mm_fwd_kernel, k=k, ns=ns)
-    gspec, qspec, ispec = _mm_specs(tile, ns, c, k)
-    hmax, hmin = pl.pallas_call(
+    hmaxT, hminT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[gspec, qspec, ispec, ispec],
-        out_specs=(qspec, qspec),
+        in_specs=[_gspec(ns, c), _qTspec(tile, c), _ispec(tile, k),
+                  _ispec(tile, k)],
+        out_specs=(_qTspec(tile, c), _qTspec(tile, c)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, ip.shape[1], c), jnp.float32),
-            jax.ShapeDtypeStruct((b, ip.shape[1], c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(g, dp_, ip, mp)
-    return hmax[:, :nq0], hmin[:, :nq0]
+    )(g, dT, iT, mT)
+    return (jnp.swapaxes(hmaxT, 1, 2)[:, :nq0],
+            jnp.swapaxes(hminT, 1, 2)[:, :nq0])
 
 
 def _mm_fwd(g, d, idx, mask):
@@ -270,37 +298,34 @@ def _mm_bwd(res, dys):
     dmax, dmin = dys
     b, nq, k = idx.shape
     ns, c = g.shape[1], g.shape[2]
-    tile = _tile_for(nq, ns, mode="sin_cos")
-    dp_, _ = _pad_queries(d, tile)
-    ip, _ = _pad_queries(idx, tile)
-    mp, _ = _pad_queries(mask, tile)
-    hmaxp, _ = _pad_queries(hmax, tile)
-    hminp, _ = _pad_queries(hmin, tile)
-    dmaxp, _ = _pad_queries(dmax, tile)
-    dminp, _ = _pad_queries(dmin, tile)
-    ntile = ip.shape[1] // tile
+    tile = _tile_for(nq, ns)
+    iT, mT, _, nqp = _prep_iq(idx, mask, tile)
+
+    def t_of(x):
+        xp, _ = _pad_queries(x, tile)
+        return jnp.swapaxes(xp, 1, 2)
+
+    dT, hmaxT, hminT = t_of(d), t_of(hmax), t_of(hmin)
+    dmaxT, dminT = t_of(dmax), t_of(dmin)
+    ntile = nqp // tile
     kern = functools.partial(_mm_bwd_kernel, k=k, ns=ns)
-    gspec, qspec, ispec = _mm_specs(tile, ns, c, k)
-    f32q = pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
-                        memory_space=pltpu.VMEM)
-    dg, dd = pl.pallas_call(
+    qT = _qTspec(tile, c)
+    dg, ddT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[gspec, qspec, ispec, ispec, f32q, f32q, f32q, f32q],
-        out_specs=(
-            pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            qspec,
-        ),
+        in_specs=[_gspec(ns, c), qT, _ispec(tile, k), _ispec(tile, k),
+                  qT, qT, qT, qT],
+        out_specs=(_gspec(ns, c), qT),
         out_shape=(
             jax.ShapeDtypeStruct((b, ns, c), g.dtype),
-            jax.ShapeDtypeStruct((b, ip.shape[1], c), d.dtype),
+            jax.ShapeDtypeStruct((b, c, nqp), d.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(g, dp_, ip, mp, hmaxp, hminp, dmaxp, dminp)
-    return dg, dd[:, :nq], None, None
+    )(g, dT, iT, mT, hmaxT, hminT, dmaxT, dminT)
+    return dg, jnp.swapaxes(ddT, 1, 2)[:, :nq], None, None
 
 
 gather_sub_minmax.defvjp(_mm_fwd, _mm_bwd)

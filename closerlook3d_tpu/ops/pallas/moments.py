@@ -1,4 +1,4 @@
-"""Fused neighborhood moments kernel.
+"""Fused neighborhood moments kernel (transposed layout, see aggregation.py).
 
 Computes, for every query point over its masked padded neighborhood,
 the zeroth and first geometric moments of neighbor features:
@@ -7,19 +7,16 @@ the zeroth and first geometric moments of neighbor features:
 
 (R = masked sum or avg, dp = (p_j - p_i)/radius) — a [B, Nq, 4C] tensor
 with NO [B,N,K,C] materialization. Everything factorizes through the
-masked multi-hot matrix M[t,s] (see aggregation.py):
+transposed masked multi-hot matrix M_T[s,t]:
 
-    R(f)        = M       @ f
-    R(dp_d f)   = (M ⊙ Δ_d) @ f
+    R(f)_T      = fᵀ "via" M_T          (dot contracting Ns)
+    R(dp_d f)_T = fᵀ via (M_T ⊙ Δ_d)
 
-Consumers:
-  * adaptive_weight with a single linear FC on dp (the paper's default):
-      y = avg_k((W dp + b) ⊙ f) = Σ_d W[:,d] ⊙ R(dp_d f)/cnt + b ⊙ R(f)/cnt
-  * point-wise MLP masked-BN statistics (sums of G and G² over slots)
-  * any operator linear in dp.
+Consumers: adaptive_weight with a single linear FC on dp (the paper's
+default), point-wise MLP masked-BN statistics, any operator linear in dp.
 
-Backward: d f = Σ_d (M ⊙ Δ_d)ᵀ @ dy_d + Mᵀ @ dy_0 — same matmuls
-transposed, accumulated over query tiles.
+Backward: d f = Σ_d (M_T ⊙ Δ_d) @ dy_dᵀ + M_T @ dy_0ᵀ — the same
+matmuls transposed, accumulated over query tiles.
 """
 
 from __future__ import annotations
@@ -32,68 +29,96 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
+    _NS_CHUNK,
+    _common_specs,
     _interpret,
-    _multi_hot,
+    _multi_hot_chunk,
     _pad_queries,
+    _pad_support,
+    _prep_tq,
     _tile_for,
 )
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _fwd_kernel(qxyz_ref, sxyzt_ref, feats_ref, idx_ref, mask_ref, out_ref,
-                *, k: int, ns: int, channels: int, radius: float,
+def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
+                out_ref, *, k: int, ns: int, channels: int, radius: float,
                 reduction: str):
-    t = qxyz_ref.shape[1]
-    m = _multi_hot(idx_ref, mask_ref, t, k, ns)  # [T, Ns]
-    feats = feats_ref[0].astype(jnp.float32)
+    t = qxyzT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
     inv_r = 1.0 / radius
+    qT = qxyzT_ref[0]
 
-    mats = [m]
-    for d in range(3):
-        delta = (sxyzt_ref[0][d:d + 1, :] - qxyz_ref[0][:, d:d + 1]) * inv_r
-        mats.append(m * delta)
-    outs = [jax.lax.dot_general(
-        w, feats, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI) for w in mats]
-    acc = jnp.concatenate(outs, axis=-1)  # [T, 4C]
+    def chunk_body(ci, carry):
+        acc, cnt = carry
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+        cnt = cnt + jnp.sum(m, axis=0, keepdims=True)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]
+        fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+        outs = []
+        for d in range(4):
+            if d == 0:
+                w = m
+            else:
+                delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
+                w = m * delta
+            outs.append(jax.lax.dot_general(
+                fch, w, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI))
+        return acc + jnp.concatenate(outs, axis=0), cnt
+
+    acc, cnt = jax.lax.fori_loop(
+        0, ns // cs, chunk_body,
+        (jnp.zeros((4 * channels, t), jnp.float32),
+         jnp.zeros((1, t), jnp.float32)))
     if reduction == "avg":
-        cnt = jnp.sum(m, axis=1, keepdims=True)
         acc = acc / jnp.maximum(cnt, 1.0)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _bwd_kernel(qxyz_ref, sxyzt_ref, idx_ref, mask_ref, dy_ref, dfeats_ref,
-                *, k: int, ns: int, channels: int, radius: float,
-                reduction: str):
+def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
+                dfeats_ref, *, k: int, ns: int, channels: int,
+                radius: float, reduction: str):
     tile = pl.program_id(1)
-    t = qxyz_ref.shape[1]
-    m = _multi_hot(idx_ref, mask_ref, t, k, ns)
+    t = qxyzT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
     inv_r = 1.0 / radius
-
-    dy = dy_ref[0].astype(jnp.float32)  # [T, 4C]
-    if reduction == "avg":
-        cnt = jnp.sum(m, axis=1, keepdims=True)
-        dy = dy / jnp.maximum(cnt, 1.0)
-
-    df = jnp.zeros((ns, channels), jnp.float32)
-    for d in range(4):
-        if d == 0:
-            w = m
-        else:
-            delta = (sxyzt_ref[0][d - 1:d, :]
-                     - qxyz_ref[0][:, d - 1:d]) * inv_r
-            w = m * delta
-        df = df + jax.lax.dot_general(
-            w, dy[:, d * channels:(d + 1) * channels],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+    qT = qxyzT_ref[0]
 
     @pl.when(tile == 0)
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    dfeats_ref[0] += df.astype(dfeats_ref.dtype)
+    dy0 = dyT_ref[0].astype(jnp.float32)  # [4C, T]
+    if reduction == "avg":
+        def cnt_body(ci, cnt):
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, ci * cs)
+            return cnt + jnp.sum(m, axis=0, keepdims=True)
+        cnt = jax.lax.fori_loop(0, ns // cs, cnt_body,
+                                jnp.zeros((1, t), jnp.float32))
+        dy0 = dy0 / jnp.maximum(cnt, 1.0)
+
+    def chunk_body(ci, _):
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]
+        df = jnp.zeros((cs, channels), jnp.float32)
+        for d in range(4):
+            if d == 0:
+                w = m
+            else:
+                delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
+                w = m * delta
+            df = df + jax.lax.dot_general(
+                w, dy0[d * channels:(d + 1) * channels, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -109,42 +134,31 @@ def neighborhood_moments(query_xyz, support_xyz, features, idx, mask,
 
 def _call(query_xyz, support_xyz, features, idx, mask, radius, reduction):
     b, nq, _ = query_xyz.shape
+    support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
     tile = _tile_for(nq, ns)
-    qp, nq0 = _pad_queries(query_xyz, tile)
-    ip, _ = _pad_queries(idx, tile)
-    mp, _ = _pad_queries(mask, tile)
-    ntile = qp.shape[1] // tile
-    sx = jnp.swapaxes(support_xyz, 1, 2)  # [B, 3, Ns]
+    qT, iT, mT, nq0, nqp = _prep_tq(query_xyz, idx, mask, tile)
+    ntile = nqp // tile
 
     kern = functools.partial(
         _fwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
         reduction=reduction)
-    out = pl.pallas_call(
+    qspec, sspec, fspec, ispec, _ = _common_specs(tile, ns, c, k)
+    oTspec = pl.BlockSpec((1, 4 * c, tile), lambda bi, ti: (bi, 0, ti),
+                          memory_space=pltpu.VMEM)
+    outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[
-            pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, ns), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile, 4 * c), lambda bi, ti: (bi, ti, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, qp.shape[1], 4 * c),
-                                       features.dtype),
+        in_specs=[qspec, sspec, fspec, ispec, ispec],
+        out_specs=oTspec,
+        out_shape=jax.ShapeDtypeStruct((b, 4 * c, nqp), features.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qp, sx, features, ip, mp)
-    return out[:, :nq0]
+    )(qT, support_xyz.astype(jnp.float32), features, iT, mT)
+    return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
 def _fwd(query_xyz, support_xyz, features, idx, mask, radius, reduction):
@@ -156,43 +170,36 @@ def _fwd(query_xyz, support_xyz, features, idx, mask, radius, reduction):
 def _bwd(radius, reduction, res, dy):
     query_xyz, support_xyz, features, idx, mask = res
     b = query_xyz.shape[0]
+    ns0 = features.shape[1]
+    support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
     tile = _tile_for(query_xyz.shape[1], ns)
-    qp, _ = _pad_queries(query_xyz, tile)
-    ip, _ = _pad_queries(idx, tile)
-    mp, _ = _pad_queries(mask, tile)
+    qT, iT, mT, _, nqp = _prep_tq(query_xyz, idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
-    ntile = qp.shape[1] // tile
-    sx = jnp.swapaxes(support_xyz, 1, 2)
+    dyT = jnp.swapaxes(dyp, 1, 2)  # [B, 4C, Nqp]
+    ntile = nqp // tile
 
     kern = functools.partial(
         _bwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
         reduction=reduction)
+    qspec, sspec, fspec, ispec, _ = _common_specs(tile, ns, c, k)
+    dyspec = pl.BlockSpec((1, 4 * c, tile), lambda bi, ti: (bi, 0, ti),
+                          memory_space=pltpu.VMEM)
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[
-            pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, ns), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 4 * c), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[qspec, sspec, ispec, ispec, dyspec],
+        out_specs=fspec,
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qp, sx, ip, mp, dyp)
-    return (jnp.zeros_like(query_xyz), jnp.zeros_like(support_xyz),
-            dfeats, None, None)
+    )(qT, support_xyz.astype(jnp.float32), iT, mT, dyT)
+    return (jnp.zeros_like(query_xyz),
+            jnp.zeros((b, ns0, 3), query_xyz.dtype),
+            dfeats[:, :ns0], None, None)
 
 
 neighborhood_moments.defvjp(_fwd, _bwd)
