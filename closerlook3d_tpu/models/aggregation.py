@@ -188,6 +188,13 @@ class LocalAggregation(nn.Module):
                 neighbor_mask, train)
             return self._maybe_output_conv(out, cfg.pointwisemlp, train)
 
+        if (agg_type == "pseudo_grid"
+                and self._fused_enabled(support_features)):
+            out = self._pseudo_grid_fused(
+                query_xyz, support_xyz, support_features, neighbor_idx,
+                neighbor_mask)
+            return self._maybe_output_conv(out, cfg.pseudo_grid, train)
+
         # two gathers: features in their own dtype, coordinates in f32
         # (bf16 absolute coordinates would corrupt dp — differences of
         # metre-scale values at ~0.1 radius; a combined f32 gather moves
@@ -341,6 +348,29 @@ class LocalAggregation(nn.Module):
         out = nn.relu(h)
         any_valid = jnp.any(mask, axis=-1, keepdims=True)
         return jnp.where(any_valid, out, 0.0).astype(self.dtype)
+
+    def _pseudo_grid_fused(self, query_xyz, support_xyz,
+                           support_features, idx, mask):
+        """Fused kernel-point correlation (ops/pallas/pseudo_grid); the
+        per-kernel-point weight matmul stays here so W gets ordinary
+        autodiff and shares its name with the jnp path."""
+        from closerlook3d_tpu.ops.pallas.pseudo_grid import pseudo_grid_fused
+        p = self.config.pseudo_grid
+        kp_np = kernel_point_layout(p.num_kernel_points,
+                                    p.fixed_kernel_points)
+        extent = float(p.KP_extent * _typical_spacing(kp_np))
+        h = pseudo_grid_fused(
+            query_xyz.astype(jnp.float32), support_xyz.astype(jnp.float32),
+            support_features, idx, mask, jnp.asarray(kp_np),
+            float(self.radius), extent, p.KP_influence)  # [B, Nq, Kp*C]
+        w = self.param(
+            "kernel_weights", nn.initializers.lecun_normal(),
+            (h.shape[-1], self.out_channels), jnp.float32)
+        out = h @ w.astype(h.dtype)
+        if p.convolution_mode == "avg":
+            cnt = jnp.sum(mask, axis=-1, keepdims=True).astype(out.dtype)
+            out = out / jnp.maximum(cnt, 1.0)
+        return out
 
     def _pseudo_grid(self, dp, f, mask):
         p = self.config.pseudo_grid

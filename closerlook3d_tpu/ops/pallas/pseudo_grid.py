@@ -1,0 +1,213 @@
+"""Fused pseudo-grid (KPConv-style) correlation kernel.
+
+Computes the kernel-point feature distribution without materializing
+[B, Nq, K, C] or [B, Nq, K, Kp]:
+
+    h[t, p, c] = Σ_k mask_k * infl(Δp_k, kp_p) * f[idx_k, c]
+    infl linear:   max(0, 1 - |Δp - kp_p| / extent)
+    infl constant: [|Δp - kp_p| <= extent]
+    infl gaussian: exp(-|Δp - kp_p|² / (2 (0.3 extent)²))
+
+The per-kernel-point weight matmul (h @ W) stays OUTSIDE in flax so W's
+gradient is ordinary autodiff; this kernel is differentiable in the
+features (custom VJP: influence-weighted transposed one-hot matmuls).
+
+Transposed layout (channels/kernel-points on sublanes, queries on
+lanes) shared with the rest of ops/pallas; output is [B, Kp*C, Nq]
+(p-major rows, matching the jnp path's reshape) transposed once outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from closerlook3d_tpu.ops.pallas.aggregation import (
+    _gather_T,
+    _interpret,
+    _pad_queries,
+    _prep_tq,
+    _row,
+    _tile_for,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _influence(dpT, kp_ref, p: int, extent: float, mode: str):
+    """[1, T] influence of kernel point p given dp [3, T]."""
+    d2 = jnp.zeros((1, dpT.shape[1]), jnp.float32)
+    for dim in range(3):
+        diff = dpT[dim:dim + 1, :] - kp_ref[0, p, dim]
+        d2 = d2 + diff * diff
+    if mode == "linear":
+        return jnp.maximum(1.0 - jnp.sqrt(d2) * (1.0 / extent), 0.0)
+    if mode == "constant":
+        return (d2 <= extent * extent).astype(jnp.float32)
+    if mode == "gaussian":
+        sig = 0.3 * extent
+        return jnp.exp(-d2 * (1.0 / (2.0 * sig * sig)))
+    raise ValueError(mode)
+
+
+def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
+                kp_ref, out_ref, *, k: int, ns: int, channels: int,
+                kpn: int, radius: float, extent: float, mode: str):
+    t = qxyzT_ref.shape[2]
+    qT = qxyzT_ref[0]
+    sxyz = sxyz_ref[0]
+    feats = feats_ref[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
+    fprec = _HI if feats.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    inv_r = 1.0 / radius
+
+    def body(kk, h):
+        oh = (iota == _row(idxT_ref, kk)).astype(jnp.float32)
+        pjT = _gather_T(oh, sxyz, _HI)  # [3, T]
+        gfT = _gather_T(oh.astype(feats.dtype), feats, fprec)  # [C, T]
+        dpT = (pjT - qT) * inv_r
+        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)
+        parts = []
+        for p in range(kpn):
+            infl = _influence(dpT, kp_ref, p, extent, mode) * mk  # [1, T]
+            parts.append(gfT * infl)
+        return h + jnp.concatenate(parts, axis=0)  # [Kp*C, T]
+
+    h = jax.lax.fori_loop(
+        0, k, body, jnp.zeros((kpn * channels, t), jnp.float32))
+    out_ref[0] = h.astype(out_ref.dtype)
+
+
+def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
+                dfeats_ref, *, k: int, ns: int, channels: int, kpn: int,
+                radius: float, extent: float, mode: str):
+    tile = pl.program_id(1)
+    t = qxyzT_ref.shape[2]
+    qT = qxyzT_ref[0]
+    sxyz = sxyz_ref[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
+    inv_r = 1.0 / radius
+    dy = dyT_ref[0].astype(jnp.float32)  # [Kp*C, T]
+
+    def body(kk, df):
+        oh = (iota == _row(idxT_ref, kk)).astype(jnp.float32)
+        pjT = _gather_T(oh, sxyz, _HI)
+        dpT = (pjT - qT) * inv_r
+        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)
+        dgf = jnp.zeros((channels, t), jnp.float32)
+        for p in range(kpn):
+            infl = _influence(dpT, kp_ref, p, extent, mode) * mk
+            dgf = dgf + infl * dy[p * channels:(p + 1) * channels, :]
+        return df + jax.lax.dot_general(
+            oh, dgf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI)  # [Ns, C]
+
+    df = jax.lax.fori_loop(0, k, body,
+                           jnp.zeros((ns, channels), jnp.float32))
+
+    @pl.when(tile == 0)
+    def _():
+        dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
+
+    dfeats_ref[0] += df.astype(dfeats_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def pseudo_grid_fused(query_xyz, support_xyz, features, idx, mask, kp,
+                      radius: float, extent: float, mode: str = "linear"):
+    """[B, Nq, Kp*C] kernel-point distributed features (p-major).
+
+    kp: [Kp, 3] rigid kernel-point layout (radius-normalized units).
+    Differentiable in features only.
+    """
+    return _call(query_xyz, support_xyz, features, idx, mask, kp, radius,
+                 extent, mode)
+
+
+def _specs(tile, ns, c, k, kpn):
+    qspec = pl.BlockSpec((1, 3, tile), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, ns, 3), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, ns, c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ispec = pl.BlockSpec((1, k, tile), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM)
+    kpspec = pl.BlockSpec((1, kpn, 3), lambda bi, ti: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, kpn * c, tile), lambda bi, ti: (bi, 0, ti),
+                         memory_space=pltpu.VMEM)
+    return qspec, sspec, fspec, ispec, kpspec, ospec
+
+
+def _call(query_xyz, support_xyz, features, idx, mask, kp, radius,
+          extent, mode):
+    b, nq, _ = query_xyz.shape
+    ns, c = features.shape[1], features.shape[2]
+    k = idx.shape[2]
+    kpn = kp.shape[0]
+    tile = _tile_for(nq, ns)
+    qT, iT, mT, nq0, nqp = _prep_tq(query_xyz, idx, mask, tile)
+    ntile = nqp // tile
+    kern = functools.partial(
+        _fwd_kernel, k=k, ns=ns, channels=c, kpn=kpn,
+        radius=float(radius), extent=float(extent), mode=mode)
+    qspec, sspec, fspec, ispec, kpspec, ospec = _specs(tile, ns, c, k, kpn)
+    outT = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[qspec, sspec, fspec, ispec, ispec, kpspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, kpn * c, nqp), features.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qT, support_xyz.astype(jnp.float32), features, iT, mT,
+      kp.astype(jnp.float32)[None])
+    return jnp.swapaxes(outT, 1, 2)[:, :nq0]
+
+
+def _fwd(query_xyz, support_xyz, features, idx, mask, kp, radius, extent,
+         mode):
+    out = _call(query_xyz, support_xyz, features, idx, mask, kp, radius,
+                extent, mode)
+    return out, (query_xyz, support_xyz, features, idx, mask, kp)
+
+
+def _bwd(radius, extent, mode, res, dy):
+    query_xyz, support_xyz, features, idx, mask, kp = res
+    b = query_xyz.shape[0]
+    ns, c = features.shape[1], features.shape[2]
+    k = idx.shape[2]
+    kpn = kp.shape[0]
+    tile = _tile_for(query_xyz.shape[1], ns)
+    qT, iT, mT, _, nqp = _prep_tq(query_xyz, idx, mask, tile)
+    dyp, _ = _pad_queries(dy, tile)
+    dyT = jnp.swapaxes(dyp, 1, 2)
+    ntile = nqp // tile
+    kern = functools.partial(
+        _bwd_kernel, k=k, ns=ns, channels=c, kpn=kpn,
+        radius=float(radius), extent=float(extent), mode=mode)
+    qspec, sspec, fspec, ispec, kpspec, ospec = _specs(tile, ns, c, k, kpn)
+    dfeats = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[qspec, sspec, ispec, ispec, kpspec, ospec],
+        out_specs=fspec,
+        out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qT, support_xyz.astype(jnp.float32), iT, mT,
+      kp.astype(jnp.float32)[None], dyT)
+    return (jnp.zeros_like(query_xyz), jnp.zeros_like(support_xyz),
+            dfeats, None, None, jnp.zeros_like(kp))
+
+
+pseudo_grid_fused.defvjp(_fwd, _bwd)

@@ -92,3 +92,55 @@ def test_fused_adaptive_weight_matches_jnp(data):
     assert outs["never_nparam"] == outs["always_nparam"]
     np.testing.assert_allclose(outs["always"], outs["never"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_pseudo_grid_matches_jnp(data):
+    """Fused KPConv-style correlation must equal the jnp path exactly."""
+    from closerlook3d_tpu.models.aggregation import LocalAggregation
+    from closerlook3d_tpu.utils.config import load_config
+    import jax
+
+    xyz, feats, idx, nmask = data
+    outs = {}
+    for flag in ("never", "always"):
+        cfg = load_config()
+        cfg.local_aggregation_type = "pseudo_grid"
+        cfg.pseudo_grid.num_kernel_points = 5
+        cfg.use_pallas = flag
+        cfg.precision = "f32"
+        la = LocalAggregation(C, RADIUS, cfg)
+        variables = la.init(jax.random.PRNGKey(0), xyz, xyz, feats, idx,
+                            nmask)
+        outs[flag] = np.asarray(
+            la.apply(variables, xyz, xyz, feats, idx, nmask))
+    np.testing.assert_allclose(outs["always"], outs["never"],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_pseudo_grid_gradients(data):
+    from closerlook3d_tpu.models.aggregation import LocalAggregation
+    from closerlook3d_tpu.utils.config import load_config
+    import jax
+
+    xyz, feats, idx, nmask = data
+    grads = {}
+    for flag in ("never", "always"):
+        cfg = load_config()
+        cfg.local_aggregation_type = "pseudo_grid"
+        cfg.pseudo_grid.num_kernel_points = 5
+        cfg.use_pallas = flag
+        cfg.precision = "f32"
+        la = LocalAggregation(C, RADIUS, cfg)
+        variables = la.init(jax.random.PRNGKey(0), xyz, xyz, feats, idx,
+                            nmask)
+
+        def loss(params, f):
+            return jnp.sum(la.apply(
+                {"params": params}, xyz, xyz, f, idx, nmask) ** 2)
+
+        grads[flag] = jax.grad(loss, argnums=(0, 1))(
+            variables["params"], feats)
+    for a, b_ in zip(jax.tree_util.tree_leaves(grads["never"]),
+                     jax.tree_util.tree_leaves(grads["always"])):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
