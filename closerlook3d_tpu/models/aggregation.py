@@ -126,7 +126,14 @@ class LocalAggregation(nn.Module):
     config: Any  # full experiment config (reads local_aggregation_type + subtree)
     dtype: Any = jnp.float32
 
-    def _fused_enabled(self, support_features) -> bool:
+    #: support-size cap for the fused kernels. All kernel families are
+    #: chunk-skipping now (scratch accumulators + per-tile active-chunk
+    #: flags; with Morton-sorted inputs each query tile touches 1-2
+    #: support chunks, so cost is O(K*Nq*cs) regardless of Ns) — bounded
+    #: only by the support feature block fitting VMEM.
+    _CAP_CHUNKED = 32768
+
+    def _fused_enabled(self, support_features, cap: int = 4096) -> bool:
         """Pallas eligibility: config switch, platform, O(Ns) scale cap."""
         cfg = self.config
         if cfg.use_pallas == "never":
@@ -135,25 +142,24 @@ class LocalAggregation(nn.Module):
             return True
         import jax
         on_tpu = jax.default_backend() not in ("cpu",)
-        # the multi-hot kernels cost O(K*Nq*Ns) VPU compares: measured
-        # faster than the XLA gather up to ~4k support points, slower at
-        # S3DIS scale (15k) — the windowed/sorted variant will lift this
-        return on_tpu and support_features.shape[1] <= 4096
+        return on_tpu and support_features.shape[1] <= cap
 
     def _use_fused_pospool(self, support_features) -> bool:
         p = self.config.pospool
-        mode_ok = ((p.position_embedding == "xyz"
-                    and support_features.shape[-1] % 3 == 0)
-                   or (p.position_embedding == "sin_cos"
-                       and support_features.shape[-1] % 6 == 0))
-        return (self._fused_enabled(support_features) and mode_ok
-                and p.reduction in ("avg", "sum"))
+        c = support_features.shape[-1]
+        if p.reduction not in ("avg", "sum"):
+            return False
+        if p.position_embedding == "xyz" and c % 3 == 0:
+            return self._fused_enabled(support_features, self._CAP_CHUNKED)
+        if p.position_embedding == "sin_cos" and c % 6 == 0:
+            return self._fused_enabled(support_features, self._CAP_CHUNKED)
+        return False
 
     def _use_fused_adaptive(self, support_features) -> bool:
         """The paper's default adaptive config (single linear FC on dp,
         no softmax) factorizes exactly through neighborhood moments."""
         p = self.config.adaptive_weight
-        return (self._fused_enabled(support_features)
+        return (self._fused_enabled(support_features, self._CAP_CHUNKED)
                 and p.local_input_feature == "dp" and p.fc_num == 1
                 and not p.weight_softmax
                 and p.reduction in ("avg", "sum"))
@@ -189,7 +195,8 @@ class LocalAggregation(nn.Module):
             return self._maybe_output_conv(out, cfg.pointwisemlp, train)
 
         if (agg_type == "pseudo_grid"
-                and self._fused_enabled(support_features)):
+                and self._fused_enabled(support_features,
+                                        self._CAP_CHUNKED)):
             out = self._pseudo_grid_fused(
                 query_xyz, support_xyz, support_features, neighbor_idx,
                 neighbor_mask)
@@ -281,7 +288,7 @@ class LocalAggregation(nn.Module):
         """The paper's best config (one FC, max pool) factorizes: the FC
         collapses to per-point projections; see ops/pallas/gather_reduce."""
         p = self.config.pointwisemlp
-        return (self._fused_enabled(support_features)
+        return (self._fused_enabled(support_features, self._CAP_CHUNKED)
                 and p.num_mlps == 1 and p.reduction == "max")
 
     def _pointwisemlp_factorized(self, query_xyz, support_xyz,

@@ -24,11 +24,26 @@ from closerlook3d_tpu.models.losses import (
 )
 
 
+def _maybe_sort(cfg, xyz, mask, features):
+    """Morton-sort the input cloud for kernel tile locality (pure perf;
+    see ops/spatial). Returns possibly-permuted inputs + the inverse
+    permutation for restoring per-point outputs (None = unsorted)."""
+    mode = getattr(cfg, "spatial_sort", "auto")
+    if mode == "never" or (mode == "auto" and xyz.shape[1] <= 2048):
+        return xyz, mask, features, None
+    from closerlook3d_tpu.ops.spatial import apply_permutation, morton_sort
+    perm, inv = morton_sort(xyz, mask)
+    return (apply_permutation(xyz, perm), apply_permutation(mask, perm),
+            apply_permutation(features, perm), inv)
+
+
 class ClassificationModel(nn.Module):
     config: Any
 
     @nn.compact
     def __call__(self, xyz, mask, features, train: bool = False):
+        # global pooled head: no inverse permutation needed
+        xyz, mask, features, _ = _maybe_sort(self.config, xyz, mask, features)
         stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
         return ClassifierHead(self.config.num_classes, self.config)(
             stages, train=train)
@@ -39,9 +54,15 @@ class SceneSegModel(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, mask, features, train: bool = False):
+        xyz, mask, features, inv = _maybe_sort(
+            self.config, xyz, mask, features)
         stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
-        return SceneSegHead(self.config.num_classes, self.config)(
+        logits = SceneSegHead(self.config.num_classes, self.config)(
             stages, train=train)
+        if inv is not None:
+            from closerlook3d_tpu.ops.spatial import apply_permutation
+            logits = apply_permutation(logits, inv)
+        return logits
 
 
 class MultiPartSegModel(nn.Module):
@@ -49,9 +70,15 @@ class MultiPartSegModel(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, mask, features, train: bool = False):
+        xyz, mask, features, inv = _maybe_sort(
+            self.config, xyz, mask, features)
         stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
-        return MultiPartSegHead(tuple(self.config.num_parts), self.config)(
+        logits = MultiPartSegHead(tuple(self.config.num_parts), self.config)(
             stages, train=train)
+        if inv is not None:
+            from closerlook3d_tpu.ops.spatial import apply_permutation
+            logits = apply_permutation(logits, inv)
+        return logits
 
 
 def build_classification(cfg) -> Tuple[nn.Module, Callable]:

@@ -82,6 +82,49 @@ def _tile_for(nq: int, ns: int, mode: str = "xyz") -> int:
     return max(128, min(256, t, nq_pow)) if nq >= 128 else         max(8, min(nq_pow, 256))
 
 
+def _tile_chunked(nq: int) -> int:
+    """Query tile for chunked kernels: liveness is [cs, T], not [Ns, T],
+    so the tile is VMEM-independent of the support size."""
+    nq_pow = 1 << (nq - 1).bit_length()
+    return max(128, min(256, nq_pow)) if nq >= 128 else max(8, nq_pow)
+
+
+def _chunk_flags(idx, mask, tile, cs: int, nchunks: int):
+    """[B, ntile(pad8), nchunks] int32: does query tile t reference
+    support chunk c through any valid neighbor slot?
+
+    With spatially sorted queries+supports (ops/spatial.morton_sort)
+    almost every tile touches 1-2 chunks; the kernels skip the rest.
+    Correct for ANY ordering — unsorted inputs just skip nothing.
+    The tile axis is padded to a multiple of 8 (Mosaic SMEM block rule;
+    blocks are (1, 8, nchunks), kernels read row program_id(1) % 8).
+    """
+    b, _, k = idx.shape
+    ip, _ = _pad_queries(idx, tile)
+    mp, _ = _pad_queries(mask, tile)
+    ntile = ip.shape[1] // tile
+    cid = jnp.where(mp, ip // cs, -1).reshape(b, ntile, tile * k)
+    hit = cid[..., None] == jnp.arange(nchunks, dtype=cid.dtype)
+    flags = jnp.any(hit, axis=2).astype(jnp.int32)
+    pad = (-ntile) % 8
+    if pad:
+        flags = jnp.pad(flags, ((0, 0), (0, pad), (0, 0)))
+    return flags
+
+
+def _flags_spec(nchunks: int):
+    return pl.BlockSpec((1, 8, nchunks), lambda bi, ti: (bi, ti // 8, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _flag(flags_ref, trow, ci):
+    """Active-flag scalar for (this query tile, support chunk ci).
+
+    trow = program_id(1) % 8 must be hoisted to the kernel top (interpret
+    mode cannot lower program_id from inside loop/when closures)."""
+    return flags_ref[0, trow, ci]
+
+
 def _pad_queries(x, t):
     """Pad dim 1 (queries) to a multiple of t."""
     nq = x.shape[1]
@@ -148,6 +191,23 @@ def _sincos_T(dpT, channels: int):
 # --------------------------------------------------------------------------
 
 
+def _one_hot_chunk(idxT_ref, maskT_ref, kk, cs: int, t: int, start):
+    """Chunk-restricted one-hot for slot kk.
+
+    Returns (oh [cs, T] f32, ink [1, T] bool): oh[s-start, t] = 1 iff
+    idx[kk, t] == s with s in this chunk and the slot valid; ink marks
+    queries whose slot-kk neighbor lives in this chunk. Each valid slot
+    lands in exactly one chunk, so per-chunk accumulations sum to the
+    full-support result.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cs, t), 0) + start
+    row = _row(idxT_ref, kk)
+    mk = _row(maskT_ref, kk) != 0
+    ink = mk & (row >= start) & (row < start + cs)
+    oh = (iota == row) & mk
+    return oh.astype(jnp.float32), ink
+
+
 def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
     """Per-support-chunk masked multi-hot [cs, T] (chunk begins at start)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (cs, t), 0) + start
@@ -160,49 +220,53 @@ def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
 
 
 def _xyz_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
-                    out_ref, *, k: int, ns: int, channels: int,
-                    radius: float, reduction: str):
+                    flags_ref, out_ref, acc_ref, cnt_ref, *, k: int,
+                    ns: int, channels: int, radius: float, reduction: str):
     t = qxyzT_ref.shape[2]
     g = channels // 3
     cs = min(ns, _NS_CHUNK)
     inv_r = 1.0 / radius
     qT = qxyzT_ref[0]  # [3, T]
+    trow = pl.program_id(1) % 8
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
 
-    def chunk_body(ci, carry):
-        acc, cnt = carry
-        start = ci * cs
-        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-        cnt = cnt + jnp.sum(m, axis=0, keepdims=True)
-        sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
-        fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
-        parts = []
-        for d in range(3):
-            delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r  # [cs, T]
-            w = m * delta
-            parts.append(jax.lax.dot_general(
-                fch[:, d * g:(d + 1) * g], w,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI))
-        return acc + jnp.concatenate(parts, axis=0), cnt
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            cnt_ref[...] = cnt_ref[...] + jnp.sum(m, axis=0, keepdims=True)
+            sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+            fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+            parts = []
+            for d in range(3):
+                delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r  # [cs,T]
+                w = m * delta
+                parts.append(jax.lax.dot_general(
+                    fch[:, d * g:(d + 1) * g], w,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI))
+            acc_ref[...] = acc_ref[...] + jnp.concatenate(parts, axis=0)
+        return 0
 
-    acc, cnt = jax.lax.fori_loop(
-        0, ns // cs, chunk_body,
-        (jnp.zeros((channels, t), jnp.float32),
-         jnp.zeros((1, t), jnp.float32)))
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    acc = acc_ref[...]
     if reduction == "avg":
-        acc = acc / jnp.maximum(cnt, 1.0)
+        acc = acc / jnp.maximum(cnt_ref[...], 1.0)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
-                    dfeats_ref, *, k: int, ns: int, channels: int,
-                    radius: float, reduction: str):
+                    flags_ref, dfeats_ref, cnt_ref, *, k: int, ns: int,
+                    channels: int, radius: float, reduction: str):
     tile = pl.program_id(1)
     t = qxyzT_ref.shape[2]
     g = channels // 3
     cs = min(ns, _NS_CHUNK)
     inv_r = 1.0 / radius
     qT = qxyzT_ref[0]
+    trow = tile % 8
 
     @pl.when(tile == 0)
     def _():
@@ -210,28 +274,36 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
 
     dy0 = dyT_ref[0].astype(jnp.float32)  # [C, T]
     if reduction == "avg":
-        # masked neighbor count needs a full pass over the support
-        def cnt_body(ci, cnt):
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, ci * cs)
-            return cnt + jnp.sum(m, axis=0, keepdims=True)
-        cnt = jax.lax.fori_loop(0, ns // cs, cnt_body,
-                                jnp.zeros((1, t), jnp.float32))
-        dy0 = dy0 / jnp.maximum(cnt, 1.0)
+        # masked neighbor count needs a pass over the active chunks
+        cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
+
+        def cnt_body(ci, _):
+            @pl.when(_flag(flags_ref, trow, ci) != 0)
+            def _():
+                m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, ci * cs)
+                cnt_ref[...] = cnt_ref[...] + jnp.sum(m, axis=0,
+                                                      keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, ns // cs, cnt_body, 0)
+        dy0 = dy0 / jnp.maximum(cnt_ref[...], 1.0)
 
     def chunk_body(ci, _):
-        start = ci * cs
-        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-        sx = sxyz_ref[0, pl.ds(start, cs), :]
-        grads = []
-        for d in range(3):
-            delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
-            w = m * delta  # [cs, T]
-            grads.append(jax.lax.dot_general(
-                w, dy0[d * g:(d + 1) * g, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI))
-        df = jnp.concatenate(grads, axis=-1)  # [cs, C]
-        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            sx = sxyz_ref[0, pl.ds(start, cs), :]
+            grads = []
+            for d in range(3):
+                delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
+                w = m * delta  # [cs, T]
+                grads.append(jax.lax.dot_general(
+                    w, dy0[d * g:(d + 1) * g, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI))
+            df = jnp.concatenate(grads, axis=-1)  # [cs, C]
+            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -243,42 +315,56 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
 
 
 def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
-                   out_ref, *, k: int, ns: int, channels: int,
-                   radius: float, reduction: str):
+                   flags_ref, out_ref, acc_ref, cnt_ref, *, k: int,
+                   ns: int, channels: int, radius: float, reduction: str):
     t = qxyzT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
+    trow = pl.program_id(1) % 8
     qT = qxyzT_ref[0]  # [3, T]
-    sxyz = sxyz_ref[0]  # [Ns, 3]
-    feats = feats_ref[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
-    fprec = _HI if feats.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     inv_r = 1.0 / radius
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
 
-    def body(kk, carry):
-        acc, cnt = carry
-        oh = (iota == _row(idxT_ref, kk)).astype(jnp.float32)  # [Ns,T]
-        pjT = _gather_T(oh, sxyz, _HI)  # [3, T]
-        gfT = _gather_T(oh.astype(feats.dtype), feats, fprec)  # [C, T]
-        dpT = (pjT - qT) * inv_r
-        w = _sincos_T(dpT, channels)  # [C, T]
-        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)  # [1, T]
-        return acc + gfT * w * mk, cnt + mk
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            sxch = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+            fch = feats_ref[0, pl.ds(start, cs), :]
+            fprec = (_HI if fch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
 
-    acc, cnt = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros((channels, t), jnp.float32),
-                     jnp.zeros((1, t), jnp.float32)))
+            def body(kk, _):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+                                         start)
+                pjT = _gather_T(oh, sxch, _HI)  # [3, T]
+                gfT = _gather_T(oh.astype(fch.dtype), fch, fprec)  # [C,T]
+                dpT = (pjT - qT) * inv_r
+                w = _sincos_T(dpT, channels)  # [C, T]
+                inkf = ink.astype(jnp.float32)  # [1, T]
+                acc_ref[...] = acc_ref[...] + gfT * w * inkf
+                cnt_ref[...] = cnt_ref[...] + inkf
+                return 0
+
+            jax.lax.fori_loop(0, k, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    acc = acc_ref[...]
     if reduction == "avg":
-        acc = acc / jnp.maximum(cnt, 1.0)
+        acc = acc / jnp.maximum(cnt_ref[...], 1.0)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
-                   dfeats_ref, *, k: int, ns: int, channels: int,
-                   radius: float, reduction: str):
+                   flags_ref, dfeats_ref, cnt_ref, *, k: int, ns: int,
+                   channels: int, radius: float, reduction: str):
+    del cnt_ref  # the masked count is chunk-independent (mask rows only)
     tile = pl.program_id(1)
     t = qxyzT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
+    trow = tile % 8
     qT = qxyzT_ref[0]
-    sxyz = sxyz_ref[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
     inv_r = 1.0 / radius
 
     dy = dyT_ref[0].astype(jnp.float32)  # [C, T]
@@ -289,25 +375,33 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
                                 jnp.zeros((1, t), jnp.float32))
         dy = dy / jnp.maximum(cnt, 1.0)
 
-    def body(kk, df):
-        oh = (iota == _row(idxT_ref, kk)).astype(jnp.float32)
-        pjT = _gather_T(oh, sxyz, _HI)
-        dpT = (pjT - qT) * inv_r
-        w = _sincos_T(dpT, channels)
-        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)
-        dgf = w * mk * dy  # [C, T]
-        return df + jax.lax.dot_general(
-            oh, dgf, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)  # [Ns, C]
-
-    df = jax.lax.fori_loop(0, k, body,
-                           jnp.zeros((ns, channels), jnp.float32))
-
     @pl.when(tile == 0)
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    dfeats_ref[0] += df.astype(dfeats_ref.dtype)
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            sxch = sxyz_ref[0, pl.ds(start, cs), :]
+
+            def body(kk, df):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+                                         start)
+                pjT = _gather_T(oh, sxch, _HI)
+                dpT = (pjT - qT) * inv_r
+                w = _sincos_T(dpT, channels)
+                dgf = w * ink.astype(jnp.float32) * dy  # [C, T]
+                return df + jax.lax.dot_general(
+                    oh, dgf, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI)
+
+            df = jax.lax.fori_loop(
+                0, k, body, jnp.zeros((cs, channels), jnp.float32))
+            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
 # --------------------------------------------------------------------------
@@ -350,7 +444,7 @@ def _pospool_call(query_xyz, support_xyz, features, idx, mask,
     support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
-    tile = _tile_for(nq, ns, mode)
+    tile = _tile_chunked(nq)
     qT, iT, mT, nq0, nqp = _prep_tq(query_xyz, idx, mask, tile)
     ntile = nqp // tile
 
@@ -364,17 +458,24 @@ def _pospool_call(query_xyz, support_xyz, features, idx, mask,
         kern_fn, k=k, ns=ns, channels=c, radius=float(radius),
         reduction=reduction)
     qspec, sspec, fspec, ispec, oTspec = _common_specs(tile, ns, c, k)
+    cs = min(ns, _NS_CHUNK)
+    in_specs = [qspec, sspec, fspec, ispec, ispec, _flags_spec(ns // cs)]
+    operands = [qT, support_xyz.astype(jnp.float32), features, iT, mT,
+                _chunk_flags(idx, mask, tile, cs, ns // cs)]
+    scratch = [pltpu.VMEM((c, tile), jnp.float32),
+               pltpu.VMEM((1, tile), jnp.float32)]
     outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[qspec, sspec, fspec, ispec, ispec],
+        in_specs=in_specs,
         out_specs=oTspec,
         out_shape=jax.ShapeDtypeStruct((b, c, nqp), features.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qT, support_xyz.astype(jnp.float32), features, iT, mT)
+    )(*operands)
     return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
@@ -392,7 +493,7 @@ def _pospool_bwd(radius, mode, reduction, res, dy):
     support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
-    tile = _tile_for(query_xyz.shape[1], ns, mode)
+    tile = _tile_chunked(query_xyz.shape[1])
     qT, iT, mT, _, nqp = _prep_tq(query_xyz, idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
     dyT = jnp.swapaxes(dyp, 1, 2)  # [B, C, Nqp]
@@ -403,17 +504,23 @@ def _pospool_bwd(radius, mode, reduction, res, dy):
         kern_fn, k=k, ns=ns, channels=c, radius=float(radius),
         reduction=reduction)
     qspec, sspec, fspec, ispec, oTspec = _common_specs(tile, ns, c, k)
+    cs = min(ns, _NS_CHUNK)
+    in_specs = [qspec, sspec, ispec, ispec, oTspec, _flags_spec(ns // cs)]
+    operands = [qT, support_xyz.astype(jnp.float32), iT, mT, dyT,
+                _chunk_flags(idx, mask, tile, cs, ns // cs)]
+    scratch = [pltpu.VMEM((1, tile), jnp.float32)]
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[qspec, sspec, ispec, ispec, oTspec],
+        in_specs=in_specs,
         out_specs=fspec,
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qT, support_xyz.astype(jnp.float32), iT, mT, dyT)
+    )(*operands)
     return (jnp.zeros_like(query_xyz),
             jnp.zeros((b, ns0, 3), query_xyz.dtype),
             dfeats[:, :ns0], None, None)

@@ -30,12 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
+    _chunk_flags,
+    _flag,
+    _flags_spec,
     _gather_T,
     _interpret,
     _multi_hot_chunk,
+    _one_hot_chunk,
     _pad_queries,
     _pad_support,
     _row,
+    _tile_chunked,
     _tile_for,
 )
 
@@ -71,30 +76,34 @@ def _qTspec(tile, c):
 # --------------------------------------------------------------------------
 
 
-def _sum_fwd_kernel(feats_ref, idxT_ref, maskT_ref, out_ref,
-                    *, k: int, ns: int):
+def _sum_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
+                    acc_ref, *, k: int, ns: int):
     t = idxT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
+    trow = pl.program_id(1) % 8
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    def chunk_body(ci, acc):
-        start = ci * cs
-        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-        fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
-        return acc + jax.lax.dot_general(
-            fch, m, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+            acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+                fch, m, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+        return 0
 
-    c = out_ref.shape[1]
-    out = jax.lax.fori_loop(0, ns // cs, chunk_body,
-                            jnp.zeros((c, t), jnp.float32))
-    out_ref[0] = out.astype(out_ref.dtype)
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, dfeats_ref,
+def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, flags_ref, dfeats_ref,
                     *, k: int, ns: int):
     tile = pl.program_id(1)
     t = idxT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
+    trow = tile % 8
 
     @pl.when(tile == 0)
     def _():
@@ -103,12 +112,14 @@ def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, dfeats_ref,
     dy = dyT_ref[0].astype(jnp.float32)
 
     def chunk_body(ci, _):
-        start = ci * cs
-        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-        df = jax.lax.dot_general(
-            m, dy, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)
-        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            df = jax.lax.dot_general(
+                m, dy, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -126,21 +137,24 @@ def _sum_call(features, idx, mask):
         jnp.zeros((features.shape[0], features.shape[1], 3),
                   jnp.float32), features)
     ns, c = features.shape[1], features.shape[2]
-    tile = _tile_for(nq, ns)
+    tile = _tile_chunked(nq)
     iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
     ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
     kern = functools.partial(_sum_fwd_kernel, k=k, ns=ns)
     outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k)],
+        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+                  _flags_spec(ns // cs)],
         out_specs=_qTspec(tile, c),
         out_shape=jax.ShapeDtypeStruct((b, c, nqp), features.dtype),
+        scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(features, iT, mT)
+    )(features, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
     return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
@@ -156,23 +170,25 @@ def _sum_bwd(res, dy):
         jnp.zeros((features.shape[0], features.shape[1], 3),
                   jnp.float32), features)
     ns, c = features.shape[1], features.shape[2]
-    tile = _tile_for(nq, ns)
+    tile = _tile_chunked(nq)
     iT, mT, _, nqp = _prep_iq(idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
     dyT = jnp.swapaxes(dyp, 1, 2)
     ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
     kern = functools.partial(_sum_bwd_kernel, k=k, ns=ns)
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_ispec(tile, k), _ispec(tile, k), _qTspec(tile, c)],
+        in_specs=[_ispec(tile, k), _ispec(tile, k), _qTspec(tile, c),
+                  _flags_spec(ns // cs)],
         out_specs=_gspec(ns, c),
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(iT, mT, dyT)
+    )(iT, mT, dyT, _chunk_flags(idx, mask, tile, cs, ns // cs))
     return dfeats[:, :ns0], None, None
 
 
@@ -184,69 +200,90 @@ neighborhood_sum.defvjp(_sum_fwd, _sum_bwd)
 # --------------------------------------------------------------------------
 
 
-def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, max_ref, min_ref,
-                   *, k: int, ns: int):
+def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
+                   min_ref, hmax_ref, hmin_ref, *, k: int, ns: int):
     t = idxT_ref.shape[2]
-    g = g_ref[0]  # [Ns, C]
+    cs = min(ns, _NS_CHUNK)
+    trow = pl.program_id(1) % 8
     dT = dT_ref[0].astype(jnp.float32)  # [C, T]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
-    fprec = _HI if g.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    hmax_ref[...] = jnp.full(hmax_ref.shape, -_BIG, hmax_ref.dtype)
+    hmin_ref[...] = jnp.full(hmin_ref.shape, _BIG, hmin_ref.dtype)
 
-    def body(kk, carry):
-        hmax, hmin = carry
-        oh = (iota == _row(idxT_ref, kk)).astype(g.dtype)
-        gf = _gather_T(oh, g, fprec)  # [C, T]
-        h = gf - dT
-        mk = _row(maskT_ref, kk) != 0  # [1, T]
-        hmax = jnp.where(mk, jnp.maximum(hmax, h), hmax)
-        hmin = jnp.where(mk, jnp.minimum(hmin, h), hmin)
-        return hmax, hmin
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            gch = g_ref[0, pl.ds(start, cs), :]  # [cs, C]
+            fprec = (_HI if gch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
 
-    hmax, hmin = jax.lax.fori_loop(
-        0, k, body, (jnp.full(dT.shape, -_BIG), jnp.full(dT.shape, _BIG)))
-    max_ref[0] = hmax.astype(max_ref.dtype)
-    min_ref[0] = hmin.astype(min_ref.dtype)
+            def body(kk, _):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+                                         start)
+                gf = _gather_T(oh.astype(gch.dtype), gch, fprec)  # [C, T]
+                h = gf - dT
+                hmax_ref[...] = jnp.where(
+                    ink, jnp.maximum(hmax_ref[...], h), hmax_ref[...])
+                hmin_ref[...] = jnp.where(
+                    ink, jnp.minimum(hmin_ref[...], h), hmin_ref[...])
+                return 0
+
+            jax.lax.fori_loop(0, k, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    max_ref[0] = hmax_ref[...].astype(max_ref.dtype)
+    min_ref[0] = hmin_ref[...].astype(min_ref.dtype)
 
 
 def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
-                   hminT_ref, dmaxT_ref, dminT_ref, dg_ref, ddT_ref,
-                   *, k: int, ns: int):
+                   hminT_ref, dmaxT_ref, dminT_ref, flags_ref, dg_ref,
+                   ddT_ref, dd_ref, *, k: int, ns: int):
     tile = pl.program_id(1)
     t = idxT_ref.shape[2]
-    g = g_ref[0]
+    cs = min(ns, _NS_CHUNK)
+    trow = tile % 8
     dT = dT_ref[0].astype(jnp.float32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
-    fprec = _HI if g.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     hmax = hmaxT_ref[0].astype(jnp.float32)
     hmin = hminT_ref[0].astype(jnp.float32)
     dmax = dmaxT_ref[0].astype(jnp.float32)
     dmin = dminT_ref[0].astype(jnp.float32)
-
-    def body(kk, carry):
-        dg, dd = carry
-        oh = (iota == _row(idxT_ref, kk)).astype(g.dtype)
-        gf = _gather_T(oh, g, fprec)
-        h = gf - dT
-        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)
-        contrib = mk * ((h == hmax) * dmax + (h == hmin) * dmin)  # [C, T]
-        dd = dd - contrib
-        dg = dg + jax.lax.dot_general(
-            oh.astype(jnp.float32), contrib,
-            dimension_numbers=(((1,), (1,)), ((), ())),  # contract T
-            preferred_element_type=jnp.float32, precision=_HI)  # [Ns, C]
-        return dg, dd
-
-    c = dT.shape[0]
-    dg, dd = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros((ns, c), jnp.float32),
-                     jnp.zeros(dT.shape, jnp.float32)))
-    ddT_ref[0] = dd.astype(ddT_ref.dtype)
+    dd_ref[...] = jnp.zeros(dd_ref.shape, dd_ref.dtype)
 
     @pl.when(tile == 0)
     def _():
         dg_ref[0] = jnp.zeros_like(dg_ref[0])
 
-    dg_ref[0] += dg.astype(dg_ref.dtype)
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            gch = g_ref[0, pl.ds(start, cs), :]
+            fprec = (_HI if gch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+
+            def body(kk, dg):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+                                         start)
+                gf = _gather_T(oh.astype(gch.dtype), gch, fprec)
+                h = gf - dT
+                inkf = ink.astype(jnp.float32)
+                contrib = inkf * ((h == hmax) * dmax
+                                  + (h == hmin) * dmin)  # [C, T]
+                dd_ref[...] = dd_ref[...] - contrib
+                return dg + jax.lax.dot_general(
+                    oh, contrib,
+                    dimension_numbers=(((1,), (1,)), ((), ())),  # contract T
+                    preferred_element_type=jnp.float32, precision=_HI)
+
+            c = dT.shape[0]
+            dg = jax.lax.fori_loop(0, k, body,
+                                   jnp.zeros((cs, c), jnp.float32))
+            dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    ddT_ref[0] = dd_ref[...].astype(ddT_ref.dtype)
 
 
 @jax.custom_vjp
@@ -262,28 +299,33 @@ def gather_sub_minmax(g, d, idx, mask):
 
 def _mm_call(g, d, idx, mask):
     b, nq, k = idx.shape
+    _, g, _ = _pad_support(
+        jnp.zeros((g.shape[0], g.shape[1], 3), jnp.float32), g)
     ns, c = g.shape[1], g.shape[2]
-    tile = _tile_for(nq, ns)
+    tile = _tile_chunked(nq)
     iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
     dp_, _ = _pad_queries(d, tile)
     dT = jnp.swapaxes(dp_, 1, 2)  # [B, C, Nqp]
     ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
     kern = functools.partial(_mm_fwd_kernel, k=k, ns=ns)
     hmaxT, hminT = pl.pallas_call(
         kern,
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), _qTspec(tile, c), _ispec(tile, k),
-                  _ispec(tile, k)],
+                  _ispec(tile, k), _flags_spec(ns // cs)],
         out_specs=(_qTspec(tile, c), _qTspec(tile, c)),
         out_shape=(
             jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
             jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32),
+                        pltpu.VMEM((c, tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(g, dT, iT, mT)
+    )(g, dT, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
     return (jnp.swapaxes(hmaxT, 1, 2)[:, :nq0],
             jnp.swapaxes(hminT, 1, 2)[:, :nq0])
 
@@ -297,8 +339,11 @@ def _mm_bwd(res, dys):
     g, d, idx, mask, hmax, hmin = res
     dmax, dmin = dys
     b, nq, k = idx.shape
+    ns0 = g.shape[1]
+    _, g, _ = _pad_support(
+        jnp.zeros((g.shape[0], g.shape[1], 3), jnp.float32), g)
     ns, c = g.shape[1], g.shape[2]
-    tile = _tile_for(nq, ns)
+    tile = _tile_chunked(nq)
     iT, mT, _, nqp = _prep_iq(idx, mask, tile)
 
     def t_of(x):
@@ -308,24 +353,27 @@ def _mm_bwd(res, dys):
     dT, hmaxT, hminT = t_of(d), t_of(hmax), t_of(hmin)
     dmaxT, dminT = t_of(dmax), t_of(dmin)
     ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
     kern = functools.partial(_mm_bwd_kernel, k=k, ns=ns)
     qT = _qTspec(tile, c)
     dg, ddT = pl.pallas_call(
         kern,
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), qT, _ispec(tile, k), _ispec(tile, k),
-                  qT, qT, qT, qT],
+                  qT, qT, qT, qT, _flags_spec(ns // cs)],
         out_specs=(_gspec(ns, c), qT),
         out_shape=(
             jax.ShapeDtypeStruct((b, ns, c), g.dtype),
             jax.ShapeDtypeStruct((b, c, nqp), d.dtype),
         ),
+        scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(g, dT, iT, mT, hmaxT, hminT, dmaxT, dminT)
-    return dg, jnp.swapaxes(ddT, 1, 2)[:, :nq], None, None
+    )(g, dT, iT, mT, hmaxT, hminT, dmaxT, dminT,
+      _chunk_flags(idx, mask, tile, cs, ns // cs))
+    return dg[:, :ns0], jnp.swapaxes(ddT, 1, 2)[:, :nq], None, None
 
 
 gather_sub_minmax.defvjp(_mm_fwd, _mm_bwd)

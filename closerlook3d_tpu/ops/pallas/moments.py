@@ -30,62 +30,69 @@ from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
+    _chunk_flags,
+    _flag,
     _common_specs,
+    _flags_spec,
     _interpret,
     _multi_hot_chunk,
     _pad_queries,
     _pad_support,
     _prep_tq,
-    _tile_for,
+    _tile_chunked,
 )
 
 _HI = jax.lax.Precision.HIGHEST
 
 
 def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
-                out_ref, *, k: int, ns: int, channels: int, radius: float,
-                reduction: str):
+                flags_ref, out_ref, acc_ref, cnt_ref, *, k: int, ns: int,
+                channels: int, radius: float, reduction: str):
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     inv_r = 1.0 / radius
     qT = qxyzT_ref[0]
+    trow = pl.program_id(1) % 8
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
 
-    def chunk_body(ci, carry):
-        acc, cnt = carry
-        start = ci * cs
-        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-        cnt = cnt + jnp.sum(m, axis=0, keepdims=True)
-        sx = sxyz_ref[0, pl.ds(start, cs), :]
-        fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
-        outs = []
-        for d in range(4):
-            if d == 0:
-                w = m
-            else:
-                delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
-                w = m * delta
-            outs.append(jax.lax.dot_general(
-                fch, w, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI))
-        return acc + jnp.concatenate(outs, axis=0), cnt
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            cnt_ref[...] = cnt_ref[...] + jnp.sum(m, axis=0, keepdims=True)
+            sx = sxyz_ref[0, pl.ds(start, cs), :]
+            fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+            outs = []
+            for d in range(4):
+                if d == 0:
+                    w = m
+                else:
+                    delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
+                    w = m * delta
+                outs.append(jax.lax.dot_general(
+                    fch, w, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI))
+            acc_ref[...] = acc_ref[...] + jnp.concatenate(outs, axis=0)
+        return 0
 
-    acc, cnt = jax.lax.fori_loop(
-        0, ns // cs, chunk_body,
-        (jnp.zeros((4 * channels, t), jnp.float32),
-         jnp.zeros((1, t), jnp.float32)))
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    acc = acc_ref[...]
     if reduction == "avg":
-        acc = acc / jnp.maximum(cnt, 1.0)
+        acc = acc / jnp.maximum(cnt_ref[...], 1.0)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
-                dfeats_ref, *, k: int, ns: int, channels: int,
-                radius: float, reduction: str):
+                flags_ref, dfeats_ref, cnt_ref, *, k: int, ns: int,
+                channels: int, radius: float, reduction: str):
     tile = pl.program_id(1)
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     inv_r = 1.0 / radius
     qT = qxyzT_ref[0]
+    trow = tile % 8
 
     @pl.when(tile == 0)
     def _():
@@ -93,29 +100,37 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
 
     dy0 = dyT_ref[0].astype(jnp.float32)  # [4C, T]
     if reduction == "avg":
-        def cnt_body(ci, cnt):
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, ci * cs)
-            return cnt + jnp.sum(m, axis=0, keepdims=True)
-        cnt = jax.lax.fori_loop(0, ns // cs, cnt_body,
-                                jnp.zeros((1, t), jnp.float32))
-        dy0 = dy0 / jnp.maximum(cnt, 1.0)
+        cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
+
+        def cnt_body(ci, _):
+            @pl.when(_flag(flags_ref, trow, ci) != 0)
+            def _():
+                m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, ci * cs)
+                cnt_ref[...] = cnt_ref[...] + jnp.sum(m, axis=0,
+                                                      keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, ns // cs, cnt_body, 0)
+        dy0 = dy0 / jnp.maximum(cnt_ref[...], 1.0)
 
     def chunk_body(ci, _):
-        start = ci * cs
-        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-        sx = sxyz_ref[0, pl.ds(start, cs), :]
-        df = jnp.zeros((cs, channels), jnp.float32)
-        for d in range(4):
-            if d == 0:
-                w = m
-            else:
-                delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
-                w = m * delta
-            df = df + jax.lax.dot_general(
-                w, dy0[d * channels:(d + 1) * channels, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
-        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            sx = sxyz_ref[0, pl.ds(start, cs), :]
+            df = jnp.zeros((cs, channels), jnp.float32)
+            for d in range(4):
+                if d == 0:
+                    w = m
+                else:
+                    delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
+                    w = m * delta
+                df = df + jax.lax.dot_general(
+                    w, dy0[d * channels:(d + 1) * channels, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI)
+            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -137,9 +152,10 @@ def _call(query_xyz, support_xyz, features, idx, mask, radius, reduction):
     support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
-    tile = _tile_for(nq, ns)
+    tile = _tile_chunked(nq)
     qT, iT, mT, nq0, nqp = _prep_tq(query_xyz, idx, mask, tile)
     ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
 
     kern = functools.partial(
         _fwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
@@ -150,14 +166,17 @@ def _call(query_xyz, support_xyz, features, idx, mask, radius, reduction):
     outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[qspec, sspec, fspec, ispec, ispec],
+        in_specs=[qspec, sspec, fspec, ispec, ispec, _flags_spec(ns // cs)],
         out_specs=oTspec,
         out_shape=jax.ShapeDtypeStruct((b, 4 * c, nqp), features.dtype),
+        scratch_shapes=[pltpu.VMEM((4 * c, tile), jnp.float32),
+                        pltpu.VMEM((1, tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qT, support_xyz.astype(jnp.float32), features, iT, mT)
+    )(qT, support_xyz.astype(jnp.float32), features, iT, mT,
+      _chunk_flags(idx, mask, tile, cs, ns // cs))
     return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
@@ -174,11 +193,12 @@ def _bwd(radius, reduction, res, dy):
     support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
-    tile = _tile_for(query_xyz.shape[1], ns)
+    tile = _tile_chunked(query_xyz.shape[1])
     qT, iT, mT, _, nqp = _prep_tq(query_xyz, idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
     dyT = jnp.swapaxes(dyp, 1, 2)  # [B, 4C, Nqp]
     ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
 
     kern = functools.partial(
         _bwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
@@ -189,14 +209,17 @@ def _bwd(radius, reduction, res, dy):
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[qspec, sspec, ispec, ispec, dyspec],
+        in_specs=[qspec, sspec, ispec, ispec, dyspec,
+                  _flags_spec(ns // cs)],
         out_specs=fspec,
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
+        scratch_shapes=[pltpu.VMEM((1, tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qT, support_xyz.astype(jnp.float32), iT, mT, dyT)
+    )(qT, support_xyz.astype(jnp.float32), iT, mT, dyT,
+      _chunk_flags(idx, mask, tile, cs, ns // cs))
     return (jnp.zeros_like(query_xyz),
             jnp.zeros((b, ns0, 3), query_xyz.dtype),
             dfeats[:, :ns0], None, None)

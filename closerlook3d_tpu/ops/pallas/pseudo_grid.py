@@ -27,12 +27,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
+    _NS_CHUNK,
+    _chunk_flags,
+    _flag,
+    _flags_spec,
     _gather_T,
     _interpret,
+    _one_hot_chunk,
     _pad_queries,
+    _pad_support,
     _prep_tq,
-    _row,
-    _tile_for,
+    _tile_chunked,
 )
 
 _HI = jax.lax.Precision.HIGHEST
@@ -55,65 +60,87 @@ def _influence(dpT, kp_ref, p: int, extent: float, mode: str):
 
 
 def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
-                kp_ref, out_ref, *, k: int, ns: int, channels: int,
-                kpn: int, radius: float, extent: float, mode: str):
+                kp_ref, flags_ref, out_ref, acc_ref, *, k: int, ns: int,
+                channels: int, kpn: int, radius: float, extent: float,
+                mode: str):
     t = qxyzT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
+    trow = pl.program_id(1) % 8
     qT = qxyzT_ref[0]
-    sxyz = sxyz_ref[0]
-    feats = feats_ref[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
-    fprec = _HI if feats.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     inv_r = 1.0 / radius
+    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    def body(kk, h):
-        oh = (iota == _row(idxT_ref, kk)).astype(jnp.float32)
-        pjT = _gather_T(oh, sxyz, _HI)  # [3, T]
-        gfT = _gather_T(oh.astype(feats.dtype), feats, fprec)  # [C, T]
-        dpT = (pjT - qT) * inv_r
-        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)
-        parts = []
-        for p in range(kpn):
-            infl = _influence(dpT, kp_ref, p, extent, mode) * mk  # [1, T]
-            parts.append(gfT * infl)
-        return h + jnp.concatenate(parts, axis=0)  # [Kp*C, T]
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            sxch = sxyz_ref[0, pl.ds(start, cs), :]
+            fch = feats_ref[0, pl.ds(start, cs), :]
+            fprec = (_HI if fch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
 
-    h = jax.lax.fori_loop(
-        0, k, body, jnp.zeros((kpn * channels, t), jnp.float32))
-    out_ref[0] = h.astype(out_ref.dtype)
+            def body(kk, _):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+                                         start)
+                pjT = _gather_T(oh, sxch, _HI)  # [3, T]
+                gfT = _gather_T(oh.astype(fch.dtype), fch, fprec)  # [C,T]
+                dpT = (pjT - qT) * inv_r
+                inkf = ink.astype(jnp.float32)
+                parts = []
+                for p in range(kpn):
+                    infl = _influence(dpT, kp_ref, p, extent, mode) * inkf
+                    parts.append(gfT * infl)
+                acc_ref[...] = acc_ref[...] + jnp.concatenate(parts, axis=0)
+                return 0
+
+            jax.lax.fori_loop(0, k, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
-                dfeats_ref, *, k: int, ns: int, channels: int, kpn: int,
-                radius: float, extent: float, mode: str):
+                flags_ref, dfeats_ref, *, k: int, ns: int, channels: int,
+                kpn: int, radius: float, extent: float, mode: str):
     tile = pl.program_id(1)
     t = qxyzT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
+    trow = tile % 8
     qT = qxyzT_ref[0]
-    sxyz = sxyz_ref[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (ns, t), 0)
     inv_r = 1.0 / radius
     dy = dyT_ref[0].astype(jnp.float32)  # [Kp*C, T]
-
-    def body(kk, df):
-        oh = (iota == _row(idxT_ref, kk)).astype(jnp.float32)
-        pjT = _gather_T(oh, sxyz, _HI)
-        dpT = (pjT - qT) * inv_r
-        mk = (_row(maskT_ref, kk) != 0).astype(jnp.float32)
-        dgf = jnp.zeros((channels, t), jnp.float32)
-        for p in range(kpn):
-            infl = _influence(dpT, kp_ref, p, extent, mode) * mk
-            dgf = dgf + infl * dy[p * channels:(p + 1) * channels, :]
-        return df + jax.lax.dot_general(
-            oh, dgf, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI)  # [Ns, C]
-
-    df = jax.lax.fori_loop(0, k, body,
-                           jnp.zeros((ns, channels), jnp.float32))
 
     @pl.when(tile == 0)
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    dfeats_ref[0] += df.astype(dfeats_ref.dtype)
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            sxch = sxyz_ref[0, pl.ds(start, cs), :]
+
+            def body(kk, df):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+                                         start)
+                pjT = _gather_T(oh, sxch, _HI)
+                dpT = (pjT - qT) * inv_r
+                inkf = ink.astype(jnp.float32)
+                dgf = jnp.zeros((channels, t), jnp.float32)
+                for p in range(kpn):
+                    infl = _influence(dpT, kp_ref, p, extent, mode) * inkf
+                    dgf = dgf + infl * dy[p * channels:(p + 1) * channels, :]
+                return df + jax.lax.dot_general(
+                    oh, dgf, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI)
+
+            df = jax.lax.fori_loop(
+                0, k, body, jnp.zeros((cs, channels), jnp.float32))
+            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -147,12 +174,14 @@ def _specs(tile, ns, c, k, kpn):
 def _call(query_xyz, support_xyz, features, idx, mask, kp, radius,
           extent, mode):
     b, nq, _ = query_xyz.shape
+    support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
     kpn = kp.shape[0]
-    tile = _tile_for(nq, ns)
+    tile = _tile_chunked(nq)
     qT, iT, mT, nq0, nqp = _prep_tq(query_xyz, idx, mask, tile)
     ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
     kern = functools.partial(
         _fwd_kernel, k=k, ns=ns, channels=c, kpn=kpn,
         radius=float(radius), extent=float(extent), mode=mode)
@@ -160,15 +189,18 @@ def _call(query_xyz, support_xyz, features, idx, mask, kp, radius,
     outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[qspec, sspec, fspec, ispec, ispec, kpspec],
+        in_specs=[qspec, sspec, fspec, ispec, ispec, kpspec,
+                  _flags_spec(ns // cs)],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, kpn * c, nqp), features.dtype),
+        scratch_shapes=[pltpu.VMEM((kpn * c, tile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(qT, support_xyz.astype(jnp.float32), features, iT, mT,
-      kp.astype(jnp.float32)[None])
+      kp.astype(jnp.float32)[None],
+      _chunk_flags(idx, mask, tile, cs, ns // cs))
     return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
@@ -182,14 +214,18 @@ def _fwd(query_xyz, support_xyz, features, idx, mask, kp, radius, extent,
 def _bwd(radius, extent, mode, res, dy):
     query_xyz, support_xyz, features, idx, mask, kp = res
     b = query_xyz.shape[0]
+    ns0 = features.shape[1]
+    sxyz0 = support_xyz
+    support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     k = idx.shape[2]
     kpn = kp.shape[0]
-    tile = _tile_for(query_xyz.shape[1], ns)
+    tile = _tile_chunked(query_xyz.shape[1])
     qT, iT, mT, _, nqp = _prep_tq(query_xyz, idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
     dyT = jnp.swapaxes(dyp, 1, 2)
     ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
     kern = functools.partial(
         _bwd_kernel, k=k, ns=ns, channels=c, kpn=kpn,
         radius=float(radius), extent=float(extent), mode=mode)
@@ -197,7 +233,8 @@ def _bwd(radius, extent, mode, res, dy):
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[qspec, sspec, ispec, ispec, kpspec, ospec],
+        in_specs=[qspec, sspec, ispec, ispec, kpspec, ospec,
+                  _flags_spec(ns // cs)],
         out_specs=fspec,
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -205,9 +242,10 @@ def _bwd(radius, extent, mode, res, dy):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(qT, support_xyz.astype(jnp.float32), iT, mT,
-      kp.astype(jnp.float32)[None], dyT)
-    return (jnp.zeros_like(query_xyz), jnp.zeros_like(support_xyz),
-            dfeats, None, None, jnp.zeros_like(kp))
+      kp.astype(jnp.float32)[None], dyT,
+      _chunk_flags(idx, mask, tile, cs, ns // cs))
+    return (jnp.zeros_like(query_xyz), jnp.zeros_like(sxyz0),
+            dfeats[:, :ns0], None, None, jnp.zeros_like(kp))
 
 
 pseudo_grid_fused.defvjp(_fwd, _bwd)

@@ -112,7 +112,11 @@ def grid_subsample(
     cells = jnp.floor((x - mins) / jnp.float32(cell_size)).astype(jnp.int32)
     # 1024 cells per axis keeps the composite key within int32 (2^30).
     cells = jnp.clip(cells, 0, 1023)
-    key = (cells[..., 2] * 1024 + cells[..., 1]) * 1024 + cells[..., 0]
+    # Morton-interleaved voxel ids: the same unique key per voxel as a
+    # raster id, but emitting barycenters in Z-order keeps downsampled
+    # stages spatially sorted for the chunk-skipping kernels (ops/spatial).
+    from closerlook3d_tpu.ops.spatial import morton_code
+    key = morton_code(cells)
     sentinel = jnp.int32(2**30)
     key = jnp.where(valid, key, sentinel)  # invalid points sort last
 

@@ -118,6 +118,11 @@ def default_config() -> ConfigDict:
     # ---- runtime / TPU ---------------------------------------------------
     c.precision = "bf16"  # bf16|f32 activation/compute dtype
     c.use_pallas = "auto"  # auto|always|never — fused TPU kernels
+    # auto|always|never — Morton-sort input clouds inside the model so the
+    # chunk-skipping kernels see spatially coherent tiles (ops/spatial);
+    # auto sorts clouds larger than 2048 points. Pure perf: outputs are
+    # returned in the caller's point order.
+    c.spatial_sort = "auto"
     c.donate_state = True
     c.data_parallel = -1  # -1: all devices on the data axis
     c.model_parallel = 1

@@ -66,11 +66,21 @@ def test_fps_coverage_property(rng):
     assert min_pair(sel) > min_pair(rnd)
 
 
+def np_morton(cells):
+    """Bit-interleaved Morton code per row of [N, 3] cell coords."""
+    out = np.zeros(len(cells), np.int64)
+    for bit in range(10):
+        out |= ((cells[:, 0] >> bit) & 1) << (3 * bit)
+        out |= ((cells[:, 1] >> bit) & 1) << (3 * bit + 1)
+        out |= ((cells[:, 2] >> bit) & 1) << (3 * bit + 2)
+    return out
+
+
 def np_grid_subsample(xyz, cell, mask):
-    """Voxel barycenters, in composite-key order (matches the op)."""
+    """Voxel barycenters, in Morton-key order (matches the op)."""
     mins = xyz[mask].min(0)
     cells = np.floor((xyz - mins) / cell).astype(np.int64).clip(0, 1023)
-    key = (cells[:, 2] * 1024 + cells[:, 1]) * 1024 + cells[:, 0]
+    key = np_morton(cells)
     out = []
     for k in np.unique(key[mask]):
         sel = mask & (key == k)
