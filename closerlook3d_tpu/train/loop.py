@@ -26,6 +26,7 @@ from closerlook3d_tpu.train.schedules import make_optimizer
 from closerlook3d_tpu.train.state import create_train_state, param_count
 from closerlook3d_tpu.train.step import make_eval_step, make_train_step
 from closerlook3d_tpu.utils.logger import setup_logger
+from closerlook3d_tpu.utils.tb import ScalarWriter
 
 _DEVICE_KEYS = ("xyz", "mask", "features", "label", "labels", "category")
 
@@ -41,6 +42,7 @@ class Trainer:
         self.cfg = cfg
         self.workdir = workdir
         self.logger = setup_logger(workdir)
+        self.writer = ScalarWriter(workdir)
 
         self.train_set = build_dataset(cfg, "train")
         self.val_set = build_dataset(cfg, "test")
@@ -103,7 +105,19 @@ class Trainer:
         self.train_iter.set_epoch(epoch)
         loss_m, acc_m, time_m = AverageMeter(), AverageMeter(), AverageMeter()
         end = time.perf_counter()
+        profile_at = int(getattr(cfg, "profile_steps", 0))
         for it, batch in enumerate(self.train_iter):
+            if profile_at and epoch == self.start_epoch and it == 2:
+                # skip the compile iterations, then trace a few steps
+                from closerlook3d_tpu.utils.profiling import trace
+                with trace(f"{self.workdir}/profile"):
+                    for _ in range(profile_at):
+                        self.state, metrics = self.train_step(
+                            self.state, device_batch(batch, self.mesh),
+                            self.rng)
+                    jax.block_until_ready(metrics)
+                self.logger.info("profile trace written to %s/profile",
+                                 self.workdir)
             db = device_batch(batch, self.mesh)
             self.state, metrics = self.train_step(self.state, db, self.rng)
             if (it + 1) % cfg.log_interval == 0 or it + 1 == len(self.train_iter):
@@ -112,11 +126,15 @@ class Trainer:
                 acc_m.update(float(metrics["acc"]))
                 time_m.update(time.perf_counter() - end)
                 end = time.perf_counter()
-                lr = float(self.lr_schedule(int(self.state.step)))
+                step = int(self.state.step)
+                lr = float(self.lr_schedule(step))
                 self.logger.info(
                     "epoch %d it %d/%d loss %.4f acc %.4f lr %.5f",
                     epoch, it + 1, len(self.train_iter),
                     loss_m.avg, acc_m.avg, lr)
+                self.writer.scalars(
+                    {"loss": loss_m.avg, "acc": acc_m.avg, "lr": lr,
+                     "batch_time": time_m.avg}, step, prefix="train/")
         return loss_m.avg, acc_m.avg
 
     def validate(self, epoch: int):
@@ -147,11 +165,14 @@ class Trainer:
             self.logger.info("val epoch %d: loss %.4f acc %.4f mIoU %.4f "
                              "OA %.4f", epoch, loss_m.avg, acc_m.avg, miou,
                              oa)
-            return {"loss": loss_m.avg, "acc": acc_m.avg, "miou": miou,
-                    "oa": oa}
-        self.logger.info("val epoch %d: loss %.4f acc %.4f",
-                         epoch, loss_m.avg, acc_m.avg)
-        return {"loss": loss_m.avg, "acc": acc_m.avg}
+            stats = {"loss": loss_m.avg, "acc": acc_m.avg, "miou": miou,
+                     "oa": oa}
+        else:
+            self.logger.info("val epoch %d: loss %.4f acc %.4f",
+                             epoch, loss_m.avg, acc_m.avg)
+            stats = {"loss": loss_m.avg, "acc": acc_m.avg}
+        self.writer.scalars(stats, int(self.state.step), prefix="val/")
+        return stats
 
     def fit(self):
         cfg = self.cfg
@@ -169,5 +190,6 @@ class Trainer:
                 self.ckpt.save(int(self.state.step), self.state,
                                extra={"epoch": epoch})
         self.ckpt.wait()
+        self.writer.close()
         self.logger.info("training complete; best %.4f", best)
         return best

@@ -128,6 +128,7 @@ def default_config() -> ConfigDict:
     c.model_parallel = 1
     c.rng_seed = 0
     c.log_interval = 50
+    c.profile_steps = 0  # >0: XPlane-trace this many steps early in run 1
     c.val_interval = 1  # validate every K epochs
     c.save_interval = 10
     c.keep_checkpoints = 3

@@ -1,0 +1,51 @@
+"""Profiling harness + scalar writer (SURVEY.md §5 tracing/logging rows)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_timeit_and_cost_analysis():
+    from closerlook3d_tpu.utils.profiling import cost_analysis, timeit
+
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((64, 64))
+    stats = timeit(f, x, iters=3, warmup=1)
+    assert stats["mean_ms"] > 0 and stats["best_ms"] <= stats["mean_ms"]
+    costs = cost_analysis(f, x)
+    assert isinstance(costs, dict)
+
+
+def test_scalar_writer_jsonl(tmp_path):
+    from closerlook3d_tpu.utils.tb import ScalarWriter
+
+    w = ScalarWriter(str(tmp_path))
+    w.scalars({"loss": 1.5, "acc": 0.5}, step=10, prefix="train/")
+    w.scalar("val/miou", 0.25, step=20)
+    w.close()
+    lines = [json.loads(ln) for ln in
+             open(tmp_path / "scalars.jsonl").read().splitlines()]
+    tags = {ln["tag"] for ln in lines}
+    assert tags == {"train/loss", "train/acc", "val/miou"}
+    assert all(np.isfinite(ln["value"]) for ln in lines)
+
+
+def test_trainer_writes_scalars(tmp_path):
+    """Smoke-train one epoch and check scalars.jsonl appears."""
+    from closerlook3d_tpu.train.loop import Trainer
+    from closerlook3d_tpu.utils.config import load_config
+
+    cfg = load_config("configs/synthetic/smoke_cls.yaml")
+    cfg.epochs = 1
+    cfg.log_interval = 8
+    trainer = Trainer(cfg, str(tmp_path))
+    trainer.fit()
+    assert os.path.exists(tmp_path / "scalars.jsonl")
+    lines = [json.loads(ln) for ln in
+             open(tmp_path / "scalars.jsonl").read().splitlines()]
+    tags = {ln["tag"] for ln in lines}
+    assert "train/loss" in tags and "val/acc" in tags
