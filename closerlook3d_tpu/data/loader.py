@@ -56,13 +56,15 @@ class BatchIterator:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
-                 feature_spec: str, seed: int = 0, drop_last: bool = True):
+                 feature_spec: str, seed: int = 0, drop_last: bool = True,
+                 transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.feature_spec = feature_spec
         self.seed = seed
         self.drop_last = drop_last
+        self.transform = transform  # batch dict -> batch dict (host-side)
         self.epoch = 0
 
     def __len__(self):
@@ -93,4 +95,6 @@ class BatchIterator:
             batch["features"] = build_features(batch, self.feature_spec)
             batch["batch_pad"] = np.arange(bs) >= (bs - pad) if pad else \
                 np.zeros(bs, bool)
+            if self.transform is not None:
+                batch = self.transform(batch)
             yield batch

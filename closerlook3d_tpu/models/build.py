@@ -41,10 +41,15 @@ class ClassificationModel(nn.Module):
     config: Any
 
     @nn.compact
-    def __call__(self, xyz, mask, features, train: bool = False):
-        # global pooled head: no inverse permutation needed
-        xyz, mask, features, _ = _maybe_sort(self.config, xyz, mask, features)
-        stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
+    def __call__(self, xyz, mask, features, train: bool = False,
+                 geometry=None):
+        # global pooled head: no inverse permutation needed. Precomputed
+        # geometry binds indices to the caller's point order -> no sort.
+        if geometry is None:
+            xyz, mask, features, _ = _maybe_sort(
+                self.config, xyz, mask, features)
+        stages = ResNetBackbone(self.config)(xyz, mask, features,
+                                             train=train, geometry=geometry)
         return ClassifierHead(self.config.num_classes, self.config)(
             stages, train=train)
 
@@ -53,10 +58,14 @@ class SceneSegModel(nn.Module):
     config: Any
 
     @nn.compact
-    def __call__(self, xyz, mask, features, train: bool = False):
-        xyz, mask, features, inv = _maybe_sort(
-            self.config, xyz, mask, features)
-        stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
+    def __call__(self, xyz, mask, features, train: bool = False,
+                 geometry=None):
+        inv = None
+        if geometry is None:
+            xyz, mask, features, inv = _maybe_sort(
+                self.config, xyz, mask, features)
+        stages = ResNetBackbone(self.config)(xyz, mask, features,
+                                             train=train, geometry=geometry)
         logits = SceneSegHead(self.config.num_classes, self.config)(
             stages, train=train)
         if inv is not None:
@@ -69,10 +78,14 @@ class MultiPartSegModel(nn.Module):
     config: Any
 
     @nn.compact
-    def __call__(self, xyz, mask, features, train: bool = False):
-        xyz, mask, features, inv = _maybe_sort(
-            self.config, xyz, mask, features)
-        stages = ResNetBackbone(self.config)(xyz, mask, features, train=train)
+    def __call__(self, xyz, mask, features, train: bool = False,
+                 geometry=None):
+        inv = None
+        if geometry is None:
+            xyz, mask, features, inv = _maybe_sort(
+                self.config, xyz, mask, features)
+        stages = ResNetBackbone(self.config)(xyz, mask, features,
+                                             train=train, geometry=geometry)
         logits = MultiPartSegHead(tuple(self.config.num_parts), self.config)(
             stages, train=train)
         if inv is not None:

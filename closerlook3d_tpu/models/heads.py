@@ -61,8 +61,11 @@ class _Decoder(nn.Module):
         x = stages[-1].features
         for s in range(len(stages) - 2, -1, -1):
             fine = stages[s]
-            up = nearest_upsample(fine.xyz, stages[s + 1].xyz, x,
-                                  support_mask=stages[s + 1].mask)
+            if fine.up_idx is not None:  # precomputed 1-NN (backbone geom)
+                up = jnp.take_along_axis(x, fine.up_idx[..., None], axis=1)
+            else:
+                up = nearest_upsample(fine.xyz, stages[s + 1].xyz, x,
+                                      support_mask=stages[s + 1].mask)
             x = jnp.concatenate([up, fine.features], axis=-1)
             x = ConvBN(fine.features.shape[-1], cfg.batchnorm_momentum,
                        dtype=dt)(x, train=train)

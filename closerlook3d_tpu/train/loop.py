@@ -33,7 +33,8 @@ _DEVICE_KEYS = ("xyz", "mask", "features", "label", "labels", "category")
 
 def device_batch(batch, mesh):
     return shard_batch({k: v for k, v in batch.items()
-                        if k in _DEVICE_KEYS}, mesh)
+                        if k in _DEVICE_KEYS or k.startswith("geom_")},
+                       mesh)
 
 
 class Trainer:
@@ -47,13 +48,20 @@ class Trainer:
         self.train_set = build_dataset(cfg, "train")
         self.val_set = build_dataset(cfg, "test")
         cfg.input_features_dim = feature_dim(cfg.input_features)
+        transform = None
+        if getattr(cfg, "precompute_geometry", False):
+            import functools
+            from closerlook3d_tpu.data.geometry import \
+                precompute_batch_geometry
+            transform = functools.partial(precompute_batch_geometry, cfg=cfg)
         self.train_iter = BatchIterator(
             self.train_set, cfg.batch_size, shuffle=True,
-            feature_spec=cfg.input_features, seed=cfg.rng_seed)
+            feature_spec=cfg.input_features, seed=cfg.rng_seed,
+            transform=transform)
         self.val_iter = BatchIterator(
             self.val_set, cfg.batch_size, shuffle=False,
             feature_spec=cfg.input_features, seed=cfg.rng_seed,
-            drop_last=False)
+            drop_last=False, transform=transform)
 
         self.mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
         self.model, self.loss_fn = build_model(cfg)

@@ -19,6 +19,12 @@ from closerlook3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from closerlook3d_tpu.train.state import TrainState
 
 
+def batch_geometry(batch):
+    """Precomputed geometry dict from geom_* batch keys (None if absent)."""
+    geom = {k[5:]: v for k, v in batch.items() if k.startswith("geom_")}
+    return geom or None
+
+
 def apply_task_loss(task: str, loss_fn: Callable, logits, batch):
     if task == "classification":
         return loss_fn(logits, batch["label"])
@@ -50,7 +56,7 @@ def make_train_step(model, loss_fn, task: str, mesh=None, donate=True):
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["xyz"], batch["mask"], batch["features"],
                 train=True, rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], geometry=batch_geometry(batch))
             loss = apply_task_loss(task, loss_fn, out, batch)
             return loss, (out, mutated)
 
@@ -77,7 +83,8 @@ def make_eval_step(model, loss_fn, task: str, mesh=None):
     def eval_step(state: TrainState, batch):
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["xyz"], batch["mask"], batch["features"], train=False)
+            batch["xyz"], batch["mask"], batch["features"], train=False,
+            geometry=batch_geometry(batch))
         loss = apply_task_loss(task, loss_fn, logits, batch)
         return logits, {"loss": loss, **task_metrics(task, logits, batch)}
 

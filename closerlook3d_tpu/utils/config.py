@@ -129,6 +129,10 @@ def default_config() -> ConfigDict:
     c.rng_seed = 0
     c.log_interval = 50
     c.profile_steps = 0  # >0: XPlane-trace this many steps early in run 1
+    # host-precomputed geometry pipeline (the reference TF impl's
+    # architecture): neighbor/sampling/upsample indices computed on CPU
+    # in the data loader; device sees only dense gathers
+    c.precompute_geometry = False
     c.val_interval = 1  # validate every K epochs
     c.save_interval = 10
     c.keep_checkpoints = 3
