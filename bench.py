@@ -92,6 +92,11 @@ def main():
                 np.int32),
         }
 
+    if cfg.spatial_sort == "host":
+        # what the data loader does in production (data/spatial_host.py)
+        from closerlook3d_tpu.data.spatial_host import morton_sort_batch
+        host_batch = morton_sort_batch(host_batch)
+
     n_chips = len(jax.devices())
     mesh = make_mesh(data_parallel=n_chips, model_parallel=1)
     model, loss_fn = build_model(cfg)

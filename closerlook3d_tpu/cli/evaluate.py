@@ -45,7 +45,8 @@ def main(argv=None):
     optimizer, _ = make_optimizer(cfg, 1)
 
     it = BatchIterator(dataset, cfg.batch_size, shuffle=False,
-                       feature_spec=cfg.input_features, drop_last=False)
+                       feature_spec=cfg.input_features, drop_last=False,
+                       spatial_sort=cfg.spatial_sort == "host")
     sample = device_batch(next(iter(it)), mesh)
     state = create_train_state(cfg, model, optimizer,
                                jax.random.PRNGKey(0), sample, mesh)

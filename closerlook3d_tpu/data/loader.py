@@ -57,7 +57,7 @@ class BatchIterator:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  feature_spec: str, seed: int = 0, drop_last: bool = True,
-                 transform=None):
+                 transform=None, spatial_sort: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,6 +65,9 @@ class BatchIterator:
         self.seed = seed
         self.drop_last = drop_last
         self.transform = transform  # batch dict -> batch dict (host-side)
+        # host-side Morton sort (cfg.spatial_sort == "host"); redundant
+        # when transform is the geometry precompute, which sorts itself
+        self.spatial_sort = spatial_sort
         self.epoch = 0
 
     def __len__(self):
@@ -95,6 +98,10 @@ class BatchIterator:
             batch["features"] = build_features(batch, self.feature_spec)
             batch["batch_pad"] = np.arange(bs) >= (bs - pad) if pad else \
                 np.zeros(bs, bool)
+            if self.spatial_sort:
+                from closerlook3d_tpu.data.spatial_host import \
+                    morton_sort_batch
+                batch = morton_sort_batch(batch)
             if self.transform is not None:
                 batch = self.transform(batch)
             yield batch

@@ -27,9 +27,13 @@ from closerlook3d_tpu.models.losses import (
 def _maybe_sort(cfg, xyz, mask, features):
     """Morton-sort the input cloud for kernel tile locality (pure perf;
     see ops/spatial). Returns possibly-permuted inputs + the inverse
-    permutation for restoring per-point outputs (None = unsorted)."""
-    mode = getattr(cfg, "spatial_sort", "auto")
-    if mode == "never" or (mode == "auto" and xyz.shape[1] <= 2048):
+    permutation for restoring per-point outputs (None = unsorted).
+
+    Mode "host" (default) means the data pipeline already sorted the
+    batch on CPU (data/spatial_host.py) — no device sort here."""
+    mode = getattr(cfg, "spatial_sort", "host")
+    if mode in ("never", "host") or (mode == "auto"
+                                     and xyz.shape[1] <= 2048):
         return xyz, mask, features, None
     from closerlook3d_tpu.ops.spatial import apply_permutation, morton_sort
     perm, inv = morton_sort(xyz, mask)

@@ -48,14 +48,19 @@ def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
         if min_pot >= cfg.num_votes:
             break
         samples = []
-        metas = []
+        rooms = []
         for _ in range(bs):
             room_idx, center, idx = dataset.pick_center()
             s = dataset.extract_sphere(room_idx, center, idx, train=False)
             samples.append(s)
-            metas.append((room_idx, s["point_idx"], s["mask"]))
+            rooms.append(room_idx)
         batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         batch["features"] = build_features(batch, cfg.input_features)
+        if getattr(cfg, "spatial_sort", "host") == "host":
+            from closerlook3d_tpu.data.spatial_host import morton_sort_batch
+            batch = morton_sort_batch(batch)  # permutes point_idx/mask too
+        metas = [(rooms[b], batch["point_idx"][b], batch["mask"][b])
+                 for b in range(bs)]
         device_batch = {k: batch[k] for k in
                         ("xyz", "mask", "features", "labels")}
         logits = np.asarray(jax.device_get(

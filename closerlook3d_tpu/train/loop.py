@@ -54,14 +54,15 @@ class Trainer:
             from closerlook3d_tpu.data.geometry import \
                 precompute_batch_geometry
             transform = functools.partial(precompute_batch_geometry, cfg=cfg)
+        host_sort = (cfg.spatial_sort == "host" and transform is None)
         self.train_iter = BatchIterator(
             self.train_set, cfg.batch_size, shuffle=True,
             feature_spec=cfg.input_features, seed=cfg.rng_seed,
-            transform=transform)
+            transform=transform, spatial_sort=host_sort)
         self.val_iter = BatchIterator(
             self.val_set, cfg.batch_size, shuffle=False,
             feature_spec=cfg.input_features, seed=cfg.rng_seed,
-            drop_last=False, transform=transform)
+            drop_last=False, transform=transform, spatial_sort=host_sort)
 
         self.mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
         self.model, self.loss_fn = build_model(cfg)

@@ -118,11 +118,19 @@ def default_config() -> ConfigDict:
     # ---- runtime / TPU ---------------------------------------------------
     c.precision = "bf16"  # bf16|f32 activation/compute dtype
     c.use_pallas = "auto"  # auto|always|never — fused TPU kernels
-    # auto|always|never — Morton-sort input clouds inside the model so the
-    # chunk-skipping kernels see spatially coherent tiles (ops/spatial);
-    # auto sorts clouds larger than 2048 points. Pure perf: outputs are
-    # returned in the caller's point order.
-    c.spatial_sort = "auto"
+    # host|auto|always|never — Morton-sort input clouds so the
+    # chunk-skipping kernels see spatially coherent tiles (ops/spatial).
+    # Pure perf; outputs stay in the caller's point order (device modes)
+    # or in consistently-permuted order incl. labels (host mode).
+    #   host   (default): the data loader sorts batches on CPU
+    #     (data/spatial_host.py); the model does not sort on device.
+    #     Preferred: saves an argsort+gather per step, and works around a
+    #     remote-execution-stack bug where jitted programs containing the
+    #     on-device sort at N > 2048 execute once then fail with
+    #     INVALID_ARGUMENT on re-execution.
+    #   auto: on-device sort inside the model for clouds > 2048 points.
+    #   always/never: force/disable the on-device sort.
+    c.spatial_sort = "host"
     c.donate_state = True
     c.data_parallel = -1  # -1: all devices on the data axis
     c.model_parallel = 1

@@ -158,3 +158,94 @@ def test_model_output_invariant_to_spatial_sort(task):
     np.testing.assert_allclose(
         np.where(m, outs["always"], 0.0), np.where(m, outs["never"], 0.0),
         rtol=2e-4, atol=2e-4)
+
+
+def test_host_morton_sort_matches_device_keys():
+    """data/spatial_host numpy keys == ops/spatial jnp keys."""
+    from closerlook3d_tpu.data.spatial_host import morton_keys_np
+    from closerlook3d_tpu.ops.spatial import morton_keys
+
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(-3, 5, (2, 300, 3)).astype(np.float32)
+    mask = rng.uniform(size=(2, 300)) < 0.9
+    np.testing.assert_array_equal(
+        morton_keys_np(xyz, mask),
+        np.asarray(morton_keys(jnp.asarray(xyz), jnp.asarray(mask))))
+
+
+def test_host_morton_sort_batch_consistency():
+    """All per-point arrays are permuted consistently; per-cloud keys
+    pass through; invalid points end up last."""
+    from closerlook3d_tpu.data.spatial_host import morton_sort_batch
+
+    rng = np.random.default_rng(4)
+    b, n = 2, 257
+    xyz = rng.uniform(-1, 1, (b, n, 3)).astype(np.float32)
+    mask = rng.uniform(size=(b, n)) < 0.8
+    labels = rng.integers(0, 13, (b, n)).astype(np.int32)
+    point_idx = np.tile(np.arange(n, dtype=np.int64), (b, 1))
+    label = rng.integers(0, 40, (b,)).astype(np.int32)
+    batch = {"xyz": xyz, "mask": mask, "labels": labels,
+             "point_idx": point_idx, "label": label,
+             "batch_pad": np.zeros(b, bool)}
+    out = morton_sort_batch({k: v.copy() for k, v in batch.items()})
+
+    np.testing.assert_array_equal(out["label"], label)
+    for bb in range(b):
+        # point_idx recovers the permutation; every array must follow it
+        perm = out["point_idx"][bb]
+        np.testing.assert_array_equal(out["xyz"][bb], xyz[bb][perm])
+        np.testing.assert_array_equal(out["mask"][bb], mask[bb][perm])
+        np.testing.assert_array_equal(out["labels"][bb], labels[bb][perm])
+        # invalid points moved to the end
+        v = out["mask"][bb]
+        first_invalid = np.argmin(v) if not v.all() else n
+        assert not v[first_invalid:].any()
+
+
+def test_model_host_sorted_equals_unsorted():
+    """Feeding a host-sorted batch (spatial_sort=host, the default) gives
+    the same valid-point logits as the unsorted cloud, modulo the
+    permutation recorded in point_idx."""
+    from closerlook3d_tpu.data.spatial_host import morton_sort_batch
+    from closerlook3d_tpu.models import build_model
+    from closerlook3d_tpu.utils.config import load_config
+
+    rng = np.random.default_rng(12)
+    b, n = 1, 512
+    xyz = rng.uniform(-2, 2, (b, n, 3)).astype(np.float32)
+    mask = rng.uniform(size=(b, n)) < 0.95
+    feats = np.concatenate(
+        [np.ones((b, n, 1)), xyz[..., 2:3]], axis=-1).astype(np.float32)
+
+    cfg = load_config()
+    cfg.task = "scene_segmentation"
+    cfg.num_classes = 9
+    cfg.num_points = n
+    cfg.npoints = [n, 128, 32]
+    cfg.nsamples = [8, 8, 8]
+    cfg.sampling = "grid"
+    cfg.width = 24
+    cfg.depth = 1
+    cfg.precision = "f32"
+    cfg.use_pallas = "never"
+    cfg.spatial_sort = "host"
+    cfg.input_features_dim = 2
+    model, _ = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(xyz), jnp.asarray(mask),
+                           jnp.asarray(feats))
+
+    ref = np.asarray(model.apply(variables, jnp.asarray(xyz),
+                                 jnp.asarray(mask), jnp.asarray(feats)))
+
+    sb = morton_sort_batch({"xyz": xyz, "mask": mask, "features": feats,
+                            "point_idx": np.tile(np.arange(n), (b, 1))})
+    out = np.asarray(model.apply(
+        variables, jnp.asarray(sb["xyz"]), jnp.asarray(sb["mask"]),
+        jnp.asarray(sb["features"])))
+    for bb in range(b):
+        perm = sb["point_idx"][bb]
+        valid = sb["mask"][bb]
+        np.testing.assert_allclose(out[bb][valid], ref[bb][perm][valid],
+                                   rtol=2e-4, atol=2e-4)
