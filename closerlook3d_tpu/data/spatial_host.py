@@ -55,6 +55,66 @@ def morton_keys_np(xyz: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return np.where(mask, code, _SENTINEL)
 
 
+def kd_order_np(xyz: np.ndarray, mask: np.ndarray,
+                leaf_size: int = 128) -> np.ndarray:
+    """[B, N] int32 permutation: balanced KD-partition (spatial sort).
+
+    Recursive median split along the widest axis until leaves hold
+    <= leaf_size points; leaf (DFS) order is the output order. Unlike a
+    raw Morton sort, every run of `leaf_size` consecutive output points
+    occupies a COMPACT axis-aligned box (a Morton run that crosses a
+    high-order curve boundary can span the whole cloud), which is what
+    makes the Pallas kernels' tile/chunk bbox pruning effective.
+    Invalid points go last (stable), like morton_keys_np's sentinel.
+    """
+    b, n = mask.shape
+    perm = np.empty((b, n), np.int32)
+    for bi in range(b):
+        valid = np.flatnonzero(mask[bi]).astype(np.int32)
+        invalid = np.flatnonzero(~mask[bi]).astype(np.int32)
+        pts = xyz[bi].astype(np.float32)
+        out, stack = [], [valid]
+        while stack:
+            idx = stack.pop()
+            if idx.size <= leaf_size:
+                out.append(idx)
+                continue
+            p = pts[idx]
+            ax = int(np.argmax(p.max(0) - p.min(0)))
+            half = idx.size // 2
+            split = np.argpartition(p[:, ax], half)
+            # right pushed first so DFS emits left-to-right
+            stack.append(idx[split[half:]])
+            stack.append(idx[split[:half]])
+        out.append(invalid)
+        perm[bi] = np.concatenate(out) if out else invalid
+    return perm
+
+
+def spatial_sort_batch(batch: Dict[str, np.ndarray],
+                       method: str = "kd") -> Dict[str, np.ndarray]:
+    """Sort every cloud spatially: 'kd' (compact leaves) or 'morton'."""
+    xyz = batch["xyz"]
+    mask = batch.get("mask")
+    if mask is None:
+        mask = np.ones(xyz.shape[:2], bool)
+    if method == "kd":
+        perm = kd_order_np(xyz, mask)
+    else:
+        keys = morton_keys_np(xyz, mask)
+        perm = np.argsort(keys, axis=1, kind="stable")
+    bidx = np.arange(xyz.shape[0])[:, None]
+    n = xyz.shape[1]
+    out = {}
+    for k, v in batch.items():
+        if (k not in _NON_POINT_KEYS and getattr(v, "ndim", 0) >= 2
+                and v.shape[1] == n):
+            out[k] = v[bidx, perm]
+        else:
+            out[k] = v
+    return out
+
+
 def morton_sort_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Sort every cloud of a stacked batch along the Z-order curve.
 

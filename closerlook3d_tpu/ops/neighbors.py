@@ -115,7 +115,17 @@ def ball_query(
     """
     from closerlook3d_tpu.ops.dispatch import prefer_pallas
     if prefer_pallas():
-        from closerlook3d_tpu.ops.pallas.neighbors import ball_query_pallas
+        import os
+        from closerlook3d_tpu.ops.pallas.neighbors import (
+            ball_query_pallas, ball_query_pallas_chunked)
+        # Large supports: bbox-pruned chunk-skipping kernel (exact for
+        # in-radius neighbors; fast when inputs are Morton-sorted).
+        chunked = os.environ.get("CL3D_BQ_CHUNKED", "auto")
+        ns = support_xyz.shape[1]
+        if chunked == "1" or (chunked == "auto" and ns >= 2048):
+            return ball_query_pallas_chunked(
+                query_xyz, support_xyz, radius, nsample,
+                query_mask=query_mask, support_mask=support_mask)
         return ball_query_pallas(query_xyz, support_xyz, radius, nsample,
                                  query_mask=query_mask,
                                  support_mask=support_mask)

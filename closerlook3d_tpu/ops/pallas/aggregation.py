@@ -49,7 +49,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HI = jax.lax.Precision.HIGHEST
-_NS_CHUNK = 2048  # support-axis chunk for the multi-hot kernels
+# support-axis chunk for the multi-hot kernels: the one-hot build cost
+# per query tile scales with (active chunks) x chunk size, and with
+# Morton-sorted inputs a tile's neighbors span a short index range, so
+# smaller chunks do strictly less VPU work (until per-chunk fixed costs
+# bite). Env override for benchmarking.
+_NS_CHUNK = int(os.environ.get("CL3D_NS_CHUNK", "2048"))
 
 
 def _pad_support(support_xyz, features):

@@ -127,6 +127,228 @@ def ball_query_pallas(query_xyz, support_xyz, radius: float, nsample: int,
     return idx[:, :nq0], nmask[:, :nq0]
 
 
+# --------------------------------------------------------------------------
+# Chunk-skipping ball query (Morton-sorted clouds)
+# --------------------------------------------------------------------------
+#
+# With spatially sorted support (data/spatial_host.morton_sort_batch and
+# ops/sampling.grid_subsample both emit Z-order), each 512-point support
+# chunk occupies a compact bbox. A query tile's in-radius neighbors can
+# only live in chunks whose bbox is within `radius` of the tile's bbox,
+# which is 1-4 of 30 chunks at S3DIS scale — the kernel skips the rest.
+# Exact for every in-radius neighbor (bbox distance lower-bounds point
+# distance); only the shadow index of all-invalid rows may differ from
+# the unchunked kernel (it is still a valid point index, which is all
+# downstream consumers rely on). Unsorted inputs stay correct and merely
+# skip fewer chunks.
+
+_BQ_CS = 512  # support chunk (lane-dim slices need 128 multiples)
+
+
+def _bq_bbox_flags(qp, qmp, sp, smp, tile: int, cs: int, radius: float):
+    """[B, ntile(pad8), C] int32: may support chunk c contain a point
+    within `radius` of any valid query in tile t? (bbox lower bound)"""
+    b, nqp, _ = qp.shape
+    ntile = nqp // tile
+    big = jnp.float32(1e9)
+    q = qp.reshape(b, ntile, tile, 3)
+    qm = qmp.reshape(b, ntile, tile, 1)
+    qmin = jnp.min(jnp.where(qm, q, big), axis=2)  # [B, ntile, 3]
+    qmax = jnp.max(jnp.where(qm, q, -big), axis=2)
+    c = sp.shape[1] // cs
+    s = sp.reshape(b, c, cs, 3)
+    sm = smp.reshape(b, c, cs, 1)
+    smin = jnp.min(jnp.where(sm, s, big), axis=2)  # [B, C, 3]
+    smax = jnp.max(jnp.where(sm, s, -big), axis=2)
+    gap = jnp.maximum(qmin[:, :, None] - smax[:, None],
+                      smin[:, None] - qmax[:, :, None])
+    gap = jnp.clip(gap, 0.0, big)  # empty tile/chunk -> 2e9 -> inactive
+    d2 = jnp.sum(gap * gap, axis=-1)  # [B, ntile, C]
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+    flags = (d2 <= r2 * 1.0001 + 1e-9).astype(jnp.int32)
+    pad = (-ntile) % 8
+    if pad:
+        flags = jnp.pad(flags, ((0, 0), (0, pad), (0, 0)))
+    return flags
+
+
+def _bq_chunked_kernel(qxyz_ref, saug_ref, qmask_ref, flags_ref,
+                       idx_ref, nmask_ref, rd2_ref, ridx_ref,
+                       *, k: int, cs: int, nchunks: int, radius: float):
+    t = qxyz_ref.shape[1]
+    q = qxyz_ref[0]  # [T, 3] f32
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
+    qaug = jnp.concatenate([q, jnp.ones((t, 1), jnp.float32)], axis=1)
+    trow = pl.program_id(1) % 8
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
+    w = k + cs
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
+    iota_cs = jax.lax.broadcasted_iota(jnp.int32, (t, cs), 1)
+    rd2_ref[...] = jnp.full((t, k), _BIG, jnp.float32)
+    ridx_ref[...] = jnp.zeros((t, k), jnp.int32)
+
+    def chunk_body(ci, _):
+        @pl.when(flags_ref[0, trow, ci] != 0)
+        def _():
+            start = ci * cs
+            sa = saug_ref[0, pl.ds(start, cs), :]  # [cs, 4]
+            # d2 = |q|^2 + (-2 q.s + |s|^2); cross term on the MXU
+            d2c = q2 + jax.lax.dot_general(
+                qaug, sa, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            d2c = jnp.maximum(d2c, 0.0)  # [T, cs]
+            r2 = radius * radius
+            # per-query best candidate this chunk; bbox pruning is a
+            # lower bound, so chunks can pass the flag yet hold nothing
+            # in radius for any query -> skip the merge outright
+            cmin = jnp.min(d2c, axis=1, keepdims=True)  # [T, 1]
+
+            @pl.when(jnp.min(cmin) <= r2)
+            def _merge():
+                rd2 = rd2_ref[...]
+                prev_i = ridx_ref[...]  # [T, K]
+                comb_d = jnp.concatenate([rd2, d2c], axis=1)
+                # running-list prefix already better than anything this
+                # chunk offers keeps its slots: skip those passes (cuts
+                # the re-extraction cost from ~K per chunk to ~#new)
+                keep = jnp.min(
+                    jnp.sum((rd2 < cmin).astype(jnp.int32), axis=1))
+                comb_d = jnp.where(iota_w < keep, _BIG, comb_d)
+
+                def cond(carry):
+                    kk, go, *_ = carry
+                    return (kk < k) & go
+
+                def body(carry):
+                    kk, _, comb_d, out_d, out_i = carry
+                    dmin = jnp.min(comb_d, axis=1, keepdims=True)
+                    # lowest-position tiebreak == lowest-index (rd2
+                    # entries precede the chunk, insertion-ordered)
+                    pos = jnp.min(jnp.where(comb_d == dmin, iota_w, w),
+                                  axis=1, keepdims=True)
+                    # merged index: running-list slot (K-wide gather)
+                    # or a chunk candidate (position-derived)
+                    vprev = jnp.sum(
+                        jnp.where(iota_k == pos, prev_i, 0), axis=1,
+                        keepdims=True)
+                    vi = jnp.where(pos < k, vprev, pos - k + start)
+                    sel_k = iota_k == kk
+                    out_d = out_d + dmin * sel_k.astype(jnp.float32)
+                    out_i = out_i + vi * sel_k.astype(jnp.int32)
+                    comb_d = jnp.where(iota_w == pos, _BIG, comb_d)
+                    # once every query's minimum is out of radius,
+                    # further slots can only be invalid (then shadow-
+                    # padded): stop. Work tracks real neighbor counts.
+                    go = jnp.any(dmin <= r2)
+                    return kk + 1, go, comb_d, out_d, out_i
+
+                stop, _, _, out_d, out_i = jax.lax.while_loop(
+                    cond, body,
+                    (keep, True, comb_d,
+                     jnp.where(iota_k < keep, rd2, 0.0),
+                     jnp.where(iota_k < keep, prev_i, 0)))
+                # unwritten tail slots must read as empty (_BIG)
+                out_d = jnp.where(iota_k < stop, out_d, _BIG)
+                rd2_ref[...] = out_d
+                ridx_ref[...] = out_i
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+
+    r2 = radius * radius
+    qvalid = qmask_ref[0]  # [T, 1] bool
+    out_valid = (rd2_ref[...] <= r2) & qvalid
+    out_idx = ridx_ref[...]
+    first = out_idx[:, 0:1]
+    idx_ref[0] = jnp.where(out_valid, out_idx, first)
+    nmask_ref[0] = out_valid
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample"))
+def ball_query_pallas_chunked(query_xyz, support_xyz, radius: float,
+                              nsample: int, query_mask=None,
+                              support_mask=None) -> Tuple[jax.Array,
+                                                          jax.Array]:
+    """Chunk-skipping drop-in for ball_query at large support sizes."""
+    b, nq, _ = query_xyz.shape
+    ns = support_xyz.shape[1]
+    if query_mask is None:
+        query_mask = jnp.ones((b, nq), bool)
+    if support_mask is None:
+        support_mask = jnp.ones((b, ns), bool)
+    cs = _BQ_CS
+    tile = _tile_chunked_bq(nq)
+    qp, nq0 = _pad_queries(query_xyz.astype(jnp.float32), tile)
+    qmp, _ = _pad_queries(query_mask[..., None], tile)
+    # invalid/padded queries sit far away so they never look in-radius
+    # (they would otherwise stall the kernel's early-exit loop)
+    qp = jnp.where(qmp, qp, 1e7)
+    ntile = qp.shape[1] // tile
+    # pad support to a chunk multiple; sentinel invalid coords far away
+    # so they are never within radius (and bboxes ignore them)
+    sx = support_xyz.astype(jnp.float32)
+    pad = (-ns) % cs
+    if pad:
+        sx = jnp.pad(sx, ((0, 0), (0, pad), (0, 0)))
+        support_mask = jnp.pad(support_mask, ((0, 0), (0, pad)))
+    sx = jnp.where(support_mask[..., None], sx, 1e6)
+    nsp = sx.shape[1]
+    flags = _bq_bbox_flags(qp, qmp, sx, support_mask[..., None], tile,
+                           cs, radius)
+    s2 = jnp.sum(sx * sx, axis=2, keepdims=True)  # [B, Nsp, 1]
+    saug = jnp.concatenate([-2.0 * sx, s2], axis=2)  # [B, Nsp, 4]
+
+    kern = functools.partial(_bq_chunked_kernel, k=nsample, cs=cs,
+                             nchunks=nsp // cs, radius=float(radius))
+    idx, nmask = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsp, 4), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nsp // cs), lambda bi, ti: (bi, ti // 8, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, nsample), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, nsample), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, qp.shape[1], nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, qp.shape[1], nsample), jnp.bool_),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, nsample), jnp.float32),
+            pltpu.VMEM((tile, nsample), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qp, saug, qmp, flags)
+    return idx[:, :nq0], nmask[:, :nq0]
+
+
+def _tile_chunked_bq(nq: int) -> int:
+    """Query tile for the chunked kernel: liveness is [T, cs], so the
+    tile no longer depends on the support size. Smaller tiles give
+    tighter bboxes (fewer active chunks) at more grid steps."""
+    nq_pow = 1 << (nq - 1).bit_length()
+    return max(8, min(_BQ_TILE, nq_pow))
+
+
+# TPU sweep (S3DIS stage-0, 4x15360, K=26): tile 128 + cs 512 won on
+# both uniform and surface-like clouds; smaller chunks lose to per-chunk
+# fixed cost, larger tiles to looser bboxes.
+_BQ_TILE = 128
+
+
 def _knn_kernel(qxyz_ref, sxyzt_ref, smask_ref, idx_ref, d2_ref,
                 *, k: int, ns: int):
     t = qxyz_ref.shape[1]

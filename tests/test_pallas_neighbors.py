@@ -63,3 +63,45 @@ def test_fps_pallas_no_mask(cloud):
     ri, _ = furthest_point_sample(xyz, 16)
     pi, _ = furthest_point_sample_pallas(xyz, 16)
     np.testing.assert_array_equal(np.asarray(ri), np.asarray(pi))
+
+
+def test_ball_query_chunked_matches_jnp():
+    from closerlook3d_tpu.ops.pallas.neighbors import (
+        ball_query_pallas_chunked)
+    from closerlook3d_tpu.data.spatial_host import morton_sort_batch
+
+    rng = np.random.default_rng(11)
+    xyz = rng.uniform(-1, 1, size=(2, 1200, 3)).astype(np.float32)
+    mask = np.ones((2, 1200), bool)
+    mask[1, 1000:] = False
+    b = morton_sort_batch({"xyz": xyz, "mask": mask})
+    x, m = jnp.array(b["xyz"]), jnp.array(b["mask"])
+    cases = [
+        (x, m, x, m, 0.25, 8),           # same-res
+        (x[:, :256], m[:, :256], x, m, 0.4, 16),  # strided
+        (x, m, x[:, :512], m[:, :512], 0.3, 4),   # upscale-style
+    ]
+    for q, qm, s, sm, r, k in cases:
+        ri, rm = ball_query(q, s, r, k, query_mask=qm, support_mask=sm)
+        pi, pm = ball_query_pallas_chunked(q, s, r, k, query_mask=qm,
+                                           support_mask=sm)
+        np.testing.assert_array_equal(np.asarray(rm), np.asarray(pm))
+        rm_ = np.asarray(rm)
+        np.testing.assert_array_equal(np.asarray(ri)[rm_],
+                                      np.asarray(pi)[rm_])
+        pi_ = np.asarray(pi)
+        assert (pi_ >= 0).all() and (pi_ < s.shape[1]).all()
+
+
+def test_ball_query_chunked_unsorted_still_exact():
+    """bbox pruning must stay correct for arbitrary (unsorted) input."""
+    from closerlook3d_tpu.ops.pallas.neighbors import (
+        ball_query_pallas_chunked)
+
+    rng = np.random.default_rng(12)
+    xyz = jnp.array(rng.uniform(-1, 1, size=(1, 640, 3)).astype(np.float32))
+    ri, rm = ball_query(xyz, xyz, 0.35, 6)
+    pi, pm = ball_query_pallas_chunked(xyz, xyz, 0.35, 6)
+    np.testing.assert_array_equal(np.asarray(rm), np.asarray(pm))
+    rm_ = np.asarray(rm)
+    np.testing.assert_array_equal(np.asarray(ri)[rm_], np.asarray(pi)[rm_])
