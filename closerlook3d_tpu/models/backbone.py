@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from closerlook3d_tpu.models.aggregation import LocalAggregation
 from closerlook3d_tpu.models.nn_utils import ConvBN, compute_dtype
-from closerlook3d_tpu.ops.grouping import group_features, masked_max
+from closerlook3d_tpu.ops.grouping import (group_features, masked_max,
+                                            neighborhood_max)
 from closerlook3d_tpu.ops.neighbors import ball_query
 from closerlook3d_tpu.ops.sampling import furthest_point_sample, grid_subsample
 from closerlook3d_tpu.utils.config import stage_plan
@@ -128,9 +129,8 @@ class Bottleneck(nn.Module):
         if self.strided:
             # pool support features to the query positions (masked max
             # over the strided neighborhood), like the reference shortcut
-            shortcut = masked_max(
-                group_features(support_features, neighbor_idx),
-                neighbor_mask)
+            shortcut = neighborhood_max(support_features, neighbor_idx,
+                                        neighbor_mask)
         else:
             shortcut = support_features
         if shortcut.shape[-1] != self.out_channels:

@@ -71,3 +71,27 @@ def masked_avg(
     total = masked_sum(values, mask, axis=axis)
     count = jnp.sum(mask, axis=-1, keepdims=True).astype(values.dtype)
     return total / jnp.maximum(count, 1.0)
+
+
+def neighborhood_max(
+    features: jax.Array, idx: jax.Array, mask: Optional[jax.Array]
+) -> jax.Array:
+    """Fused gather + masked max over a neighborhood: [B, Nq, C].
+
+    The jnp path materializes the [B, Nq, K, C] gather, which XLA's
+    TPU gather handles well (~12 ms at S3DIS stage-1); the Pallas
+    kernel (ops/pallas/gather_reduce.neighborhood_max) avoids the HBM
+    round-trip but its per-slot one-hot matmuls are launch-bound at
+    small chunk sizes and measured slower (~22 ms) — opt in via
+    CL3D_MAX_IMPL=pallas if that tradeoff changes.
+    """
+    import os
+    from closerlook3d_tpu.ops.dispatch import prefer_pallas
+    if os.environ.get("CL3D_MAX_IMPL", "jnp") == "pallas" and \
+            prefer_pallas():
+        from closerlook3d_tpu.ops.pallas.gather_reduce import (
+            neighborhood_max as neighborhood_max_pallas)
+        if mask is None:
+            mask = jnp.ones(idx.shape, bool)
+        return neighborhood_max_pallas(features, idx, mask)
+    return masked_max(group_features(features, idx), mask)

@@ -53,8 +53,10 @@ _HI = jax.lax.Precision.HIGHEST
 # per query tile scales with (active chunks) x chunk size, and with
 # Morton-sorted inputs a tile's neighbors span a short index range, so
 # smaller chunks do strictly less VPU work (until per-chunk fixed costs
-# bite). Env override for benchmarking.
-_NS_CHUNK = int(os.environ.get("CL3D_NS_CHUNK", "2048"))
+# bite). v5e sweep on the S3DIS seg step (4x15360, bf16):
+# 2048 -> 357 ms/step, 512 -> 215, 256 -> 160, 128 -> 108, 64 -> 109.
+# Env override for benchmarking.
+_NS_CHUNK = int(os.environ.get("CL3D_NS_CHUNK", "128"))
 
 
 def _pad_support(support_xyz, features):
@@ -87,11 +89,15 @@ def _tile_for(nq: int, ns: int, mode: str = "xyz") -> int:
     return max(128, min(256, t, nq_pow)) if nq >= 128 else         max(8, min(nq_pow, 256))
 
 
+_TILE_CHUNKED = int(os.environ.get("CL3D_AGG_TILE", "128"))
+
+
 def _tile_chunked(nq: int) -> int:
     """Query tile for chunked kernels: liveness is [cs, T], not [Ns, T],
     so the tile is VMEM-independent of the support size."""
     nq_pow = 1 << (nq - 1).bit_length()
-    return max(128, min(256, nq_pow)) if nq >= 128 else max(8, nq_pow)
+    return (max(128, min(_TILE_CHUNKED, nq_pow)) if nq >= 128
+            else max(8, nq_pow))
 
 
 def _chunk_flags(idx, mask, tile, cs: int, nchunks: int):
@@ -234,14 +240,16 @@ def _xyz_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     qT = qxyzT_ref[0]  # [3, T]
     trow = pl.program_id(1) % 8
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
-    cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
+    # valid-neighbor count == mask row-sum (every valid slot lands in
+    # exactly one chunk) — no need to build multi-hots to count
+    cnt_ref[...] = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
+                           keepdims=True)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            cnt_ref[...] = cnt_ref[...] + jnp.sum(m, axis=0, keepdims=True)
             sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
             fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
             parts = []
@@ -279,19 +287,11 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
 
     dy0 = dyT_ref[0].astype(jnp.float32)  # [C, T]
     if reduction == "avg":
-        # masked neighbor count needs a pass over the active chunks
-        cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
-
-        def cnt_body(ci, _):
-            @pl.when(_flag(flags_ref, trow, ci) != 0)
-            def _():
-                m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, ci * cs)
-                cnt_ref[...] = cnt_ref[...] + jnp.sum(m, axis=0,
-                                                      keepdims=True)
-            return 0
-
-        jax.lax.fori_loop(0, ns // cs, cnt_body, 0)
-        dy0 = dy0 / jnp.maximum(cnt_ref[...], 1.0)
+        # valid-neighbor count == mask row-sum (chunk-independent)
+        cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
+                      keepdims=True)
+        dy0 = dy0 / jnp.maximum(cnt, 1.0)
+        del cnt_ref
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)

@@ -377,3 +377,173 @@ def _mm_bwd(res, dys):
 
 
 gather_sub_minmax.defvjp(_mm_fwd, _mm_bwd)
+
+
+# --------------------------------------------------------------------------
+# neighborhood_max — fused gather + masked max (strided-shortcut pooling)
+# --------------------------------------------------------------------------
+#
+# Parity: the reference's grouping + torch.max pooling over the strided
+# neighborhood (SURVEY.md §2.3 N4; resnet strided-block shortcut). The
+# jnp path (masked_max(group_features(...))) materializes [B,Nq,K,C] in
+# HBM; this kernel keeps everything in VMEM. Gradient routes each
+# query-channel's dy to the FIRST argmax slot in (chunk, k) order —
+# torch's single-index max-backward semantics (jnp even-splits ties;
+# identical for distinct values).
+
+
+def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
+                    acc_ref, *, k: int, ns: int):
+    t = idxT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
+    trow = pl.program_id(1) % 8
+    acc_ref[...] = jnp.full(acc_ref.shape, -_BIG, acc_ref.dtype)
+
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            fch = feats_ref[0, pl.ds(start, cs), :]
+            # one-hot gathers are exact at ANY matmul precision (single
+            # nonzero term, f32 accumulation); bf16 DEFAULT is 6x the
+            # MXU rate of f32 HIGHEST
+            prec = (_HI if fch.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+
+            def body(kk, _):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+                                         start)
+                gfT = _gather_T(oh.astype(fch.dtype), fch, prec)  # [C,T]
+                acc_ref[...] = jnp.maximum(
+                    acc_ref[...], jnp.where(ink, gfT, -_BIG))
+                return 0
+
+            jax.lax.fori_loop(0, k, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    # empty neighborhoods -> 0 (ops/grouping.masked_max convention)
+    cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0, keepdims=True)
+    out_ref[0] = jnp.where(cnt > 0, acc_ref[...], 0.0)
+
+
+def _max_bwd_kernel(feats_ref, idxT_ref, maskT_ref, maxT_ref, dyT_ref,
+                    flags_ref, dfeats_ref, routed_ref, *, k: int, ns: int):
+    tile = pl.program_id(1)
+    t = idxT_ref.shape[2]
+    cs = min(ns, _NS_CHUNK)
+    trow = tile % 8
+
+    @pl.when(tile == 0)
+    def _():
+        dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
+
+    dy = dyT_ref[0].astype(jnp.float32)  # [C, T]
+    mx = maxT_ref[0]  # [C, T] f32 (pre-cast fwd output)
+    routed_ref[...] = jnp.zeros(routed_ref.shape, routed_ref.dtype)
+
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            fch = feats_ref[0, pl.ds(start, cs), :]
+            prec = (_HI if fch.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+
+            def body(kk, df):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+                                         start)
+                ohc = oh.astype(fch.dtype)
+                gfT = _gather_T(ohc, fch, prec)
+                sel = ((gfT == mx) & ink
+                       & (routed_ref[...] == 0.0)).astype(jnp.float32)
+                routed_ref[...] = routed_ref[...] + sel
+                return df + jax.lax.dot_general(
+                    ohc, (dy * sel).astype(fch.dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+
+            df = jax.lax.fori_loop(
+                0, k, body, jnp.zeros((cs, dfeats_ref.shape[2]),
+                                      jnp.float32))
+            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(
+                dfeats_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+
+
+@jax.custom_vjp
+def neighborhood_max(features, idx, mask):
+    """[B, Nq, C] = max_k masked features[idx[.., k]] (empty -> 0)."""
+    out, _ = _max_call(features, idx, mask)
+    return out
+
+
+def _max_call(features, idx, mask):
+    b, nq, k = idx.shape
+    dtype = features.dtype
+    _, features, _ = _pad_support(
+        jnp.zeros((features.shape[0], features.shape[1], 3),
+                  jnp.float32), features)
+    ns, c = features.shape[1], features.shape[2]
+    tile = _tile_chunked(nq)
+    iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
+    ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
+    kern = functools.partial(_max_fwd_kernel, k=k, ns=ns)
+    outT = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+                  _flags_spec(ns // cs)],
+        out_specs=_qTspec(tile, c),
+        out_shape=jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(features, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    return jnp.swapaxes(outT, 1, 2)[:, :nq0].astype(dtype), outT
+
+
+def _max_fwd(features, idx, mask):
+    out, outT = _max_call(features, idx, mask)
+    return out, (features, idx, mask, outT)
+
+
+def _max_bwd(res, dy):
+    features, idx, mask, maxT = res
+    b, nq, k = idx.shape
+    ns0 = features.shape[1]
+    _, features, _ = _pad_support(
+        jnp.zeros((features.shape[0], features.shape[1], 3),
+                  jnp.float32), features)
+    ns, c = features.shape[1], features.shape[2]
+    tile = _tile_chunked(nq)
+    iT, mT, _, nqp = _prep_iq(idx, mask, tile)
+    dyp, _ = _pad_queries(dy, tile)
+    dyT = jnp.swapaxes(dyp, 1, 2)
+    ntile = nqp // tile
+    cs = min(ns, _NS_CHUNK)
+    kern = functools.partial(_max_bwd_kernel, k=k, ns=ns)
+    dfeats = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+                  _qTspec(tile, c), _qTspec(tile, c),
+                  _flags_spec(ns // cs)],
+        out_specs=_gspec(ns, c),
+        out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
+        scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(features, iT, mT, maxT, dyT,
+      _chunk_flags(idx, mask, tile, cs, ns // cs))
+    return dfeats[:, :ns0], None, None
+
+
+neighborhood_max.defvjp(_max_fwd, _max_bwd)

@@ -54,14 +54,15 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     qT = qxyzT_ref[0]
     trow = pl.program_id(1) % 8
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
-    cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
+    # valid-neighbor count == mask row-sum (chunk-independent)
+    cnt_ref[...] = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
+                           keepdims=True)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            cnt_ref[...] = cnt_ref[...] + jnp.sum(m, axis=0, keepdims=True)
             sx = sxyz_ref[0, pl.ds(start, cs), :]
             fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
             outs = []
@@ -100,18 +101,11 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
 
     dy0 = dyT_ref[0].astype(jnp.float32)  # [4C, T]
     if reduction == "avg":
-        cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
-
-        def cnt_body(ci, _):
-            @pl.when(_flag(flags_ref, trow, ci) != 0)
-            def _():
-                m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, ci * cs)
-                cnt_ref[...] = cnt_ref[...] + jnp.sum(m, axis=0,
-                                                      keepdims=True)
-            return 0
-
-        jax.lax.fori_loop(0, ns // cs, cnt_body, 0)
-        dy0 = dy0 / jnp.maximum(cnt_ref[...], 1.0)
+        # valid-neighbor count == mask row-sum (chunk-independent)
+        cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
+                      keepdims=True)
+        dy0 = dy0 / jnp.maximum(cnt, 1.0)
+        del cnt_ref
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)

@@ -167,3 +167,35 @@ def test_neighborhood_sum_multichunk(data):
     np.testing.assert_allclose(np.asarray(fused(f)), np.asarray(ref(f)),
                                rtol=1e-5, atol=1e-6)
     check_grads(fused, ref, f)
+
+
+def test_neighborhood_max_matches_jnp():
+    """Fused gather+max kernel vs the jnp reference (fwd + grad)."""
+    import jax
+    import jax.numpy as jnp
+    from closerlook3d_tpu.ops.grouping import group_features, masked_max
+    from closerlook3d_tpu.ops.pallas.gather_reduce import neighborhood_max
+
+    rng = np.random.default_rng(21)
+    B, Ns, Nq, K, C = 2, 600, 160, 9, 24
+    feats = jnp.array(rng.normal(size=(B, Ns, C)).astype(np.float32))
+    idx = jnp.array(rng.integers(0, Ns, size=(B, Nq, K)).astype(np.int32))
+    mask = jnp.array(rng.uniform(size=(B, Nq, K)) < 0.7)
+    # one query with zero valid neighbors (empty -> 0 convention)
+    mask = mask.at[0, 3].set(False)
+
+    ref = masked_max(group_features(feats, idx), mask)
+    out = neighborhood_max(feats, idx, mask)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+    assert not np.asarray(out)[0, 3].any()
+
+    # gradients (values are distinct floats -> no argmax ties, so the
+    # kernel's first-wins routing matches jnp's even tie-split)
+    dy = jnp.array(rng.normal(size=ref.shape).astype(np.float32))
+    gref = jax.grad(lambda f: jnp.vdot(
+        masked_max(group_features(f, idx), mask), dy))(feats)
+    gout = jax.grad(lambda f: jnp.vdot(
+        neighborhood_max(f, idx, mask), dy))(feats)
+    np.testing.assert_allclose(np.asarray(gref), np.asarray(gout),
+                               rtol=1e-5, atol=1e-5)
