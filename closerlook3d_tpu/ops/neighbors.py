@@ -122,7 +122,7 @@ def ball_query(
         # in-radius neighbors; fast when inputs are Morton-sorted).
         chunked = os.environ.get("CL3D_BQ_CHUNKED", "auto")
         ns = support_xyz.shape[1]
-        if chunked == "1" or (chunked == "auto" and ns >= 2048):
+        if chunked == "1" or (chunked == "auto" and ns >= 1024):
             return ball_query_pallas_chunked(
                 query_xyz, support_xyz, radius, nsample,
                 query_mask=query_mask, support_mask=support_mask)
