@@ -78,17 +78,19 @@ def neighborhood_max(
 ) -> jax.Array:
     """Fused gather + masked max over a neighborhood: [B, Nq, C].
 
-    The jnp path materializes the [B, Nq, K, C] gather, which XLA's
-    TPU gather handles well (~12 ms at S3DIS stage-1); the Pallas
-    kernel (ops/pallas/gather_reduce.neighborhood_max) avoids the HBM
-    round-trip but its per-slot one-hot matmuls are launch-bound at
-    small chunk sizes and measured slower (~22 ms) — opt in via
-    CL3D_MAX_IMPL=pallas if that tradeoff changes.
+    The jnp path materializes the [B, Nq, K, C] gather; the Pallas
+    kernel (ops/pallas/gather_reduce.neighborhood_max) keeps the
+    reduction in VMEM via one wide one-hot matmul per support chunk.
+    v5e: the kernel wins at S3DIS scale (seg step 106 -> 92 ms) but
+    XLA's gather is ~1 ms better at ModelNet40 scale, so `auto`
+    dispatches by support size. Override via CL3D_MAX_IMPL=jnp|pallas.
     """
     import os
     from closerlook3d_tpu.ops.dispatch import prefer_pallas
-    if os.environ.get("CL3D_MAX_IMPL", "jnp") == "pallas" and \
-            prefer_pallas():
+    impl = os.environ.get("CL3D_MAX_IMPL", "auto")
+    use_pallas = (impl == "pallas"
+                  or (impl == "auto" and features.shape[1] >= 2048))
+    if use_pallas and prefer_pallas():
         from closerlook3d_tpu.ops.pallas.gather_reduce import (
             neighborhood_max as neighborhood_max_pallas)
         if mask is None:

@@ -428,8 +428,34 @@ def _common_specs(tile, ns, c, k):
     return qspec, sspec, fspec, ispec, oTspec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fold_batch(nq: int, b: int) -> bool:
+    """Fold batch into the point axes when per-batch query tiles would
+    occupy a fraction of the 128-lane unit (deep stages: nq of 8-88).
+    Valid for every index-addressed kernel: offset indices keep each
+    query inside its own batch's support range, so nothing crosses
+    batch boundaries, and the chunk flags localize as usual."""
+    return b > 1 and nq < 128
+
+
 def pospool_fused(query_xyz, support_xyz, features, idx, mask,
+                  radius, mode: str, reduction: str):
+    b, nq, k = idx.shape
+    ns, c = features.shape[1], features.shape[2]
+    if _fold_batch(nq, b):
+        off = (jnp.arange(b, dtype=idx.dtype) * ns)[:, None, None]
+        out = _pospool_vjp(
+            query_xyz.reshape(1, b * nq, 3),
+            support_xyz.reshape(1, b * ns, 3),
+            features.reshape(1, b * ns, c),
+            (idx + off).reshape(1, b * nq, k),
+            mask.reshape(1, b * nq, k), radius, mode, reduction)
+        return out.reshape(b, nq, -1)
+    return _pospool_vjp(query_xyz, support_xyz, features, idx, mask,
+                        radius, mode, reduction)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _pospool_vjp(query_xyz, support_xyz, features, idx, mask,
                   radius: float, mode: str = "xyz",
                   reduction: str = "avg"):
     """Fused PosPool: [B, Nq, C] from padded neighborhoods.
@@ -531,4 +557,4 @@ def _pospool_bwd(radius, mode, reduction, res, dy):
             dfeats[:, :ns0], None, None)
 
 
-pospool_fused.defvjp(_pospool_fwd, _pospool_bwd)
+_pospool_vjp.defvjp(_pospool_fwd, _pospool_bwd)

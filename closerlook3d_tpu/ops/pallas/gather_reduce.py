@@ -22,6 +22,7 @@ Both have custom VJPs (transposed multi-hot / extremum-routed matmuls).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -125,9 +126,22 @@ def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, flags_ref, dfeats_ref,
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
-@jax.custom_vjp
 def neighborhood_sum(features, idx, mask):
     """[B, Nq, C] = Σ_k masked features[idx[.., k]]."""
+    from closerlook3d_tpu.ops.pallas.aggregation import _fold_batch
+    b, nq, k = idx.shape
+    ns, c = features.shape[1], features.shape[2]
+    if _fold_batch(nq, b):
+        off = (jnp.arange(b, dtype=idx.dtype) * ns)[:, None, None]
+        out = _sum_vjp(features.reshape(1, b * ns, c),
+                       (idx + off).reshape(1, b * nq, k),
+                       mask.reshape(1, b * nq, k))
+        return out.reshape(b, nq, c)
+    return _sum_vjp(features, idx, mask)
+
+
+@jax.custom_vjp
+def _sum_vjp(features, idx, mask):
     return _sum_call(features, idx, mask)
 
 
@@ -192,7 +206,7 @@ def _sum_bwd(res, dy):
     return dfeats[:, :ns0], None, None
 
 
-neighborhood_sum.defvjp(_sum_fwd, _sum_bwd)
+_sum_vjp.defvjp(_sum_fwd, _sum_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -203,7 +217,7 @@ neighborhood_sum.defvjp(_sum_fwd, _sum_bwd)
 def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
                    min_ref, hmax_ref, hmin_ref, *, k: int, ns: int):
     t = idxT_ref.shape[2]
-    cs = min(ns, _NS_CHUNK)
+    cs = min(ns, _MAX_CS)
     trow = pl.program_id(1) % 8
     dT = dT_ref[0].astype(jnp.float32)  # [C, T]
     hmax_ref[...] = jnp.full(hmax_ref.shape, -_BIG, hmax_ref.dtype)
@@ -216,19 +230,33 @@ def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
             gch = g_ref[0, pl.ds(start, cs), :]  # [cs, C]
             fprec = (_HI if gch.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-
-            def body(kk, _):
-                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+            # one wide one-hot + ONE matmul per chunk (per-slot matmuls
+            # are MXU-launch-bound); per-slot views are static slices.
+            # Mosaic's [K,T]->[1,K*T] reshape needs lane-aligned T.
+            if t % 128 == 0:
+                ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
                                          start)
-                gf = _gather_T(oh.astype(gch.dtype), gch, fprec)  # [C, T]
-                h = gf - dT
-                hmax_ref[...] = jnp.where(
-                    ink, jnp.maximum(hmax_ref[...], h), hmax_ref[...])
-                hmin_ref[...] = jnp.where(
-                    ink, jnp.minimum(hmin_ref[...], h), hmin_ref[...])
-                return 0
+                gfW = _gather_T(ohW.astype(gch.dtype), gch, fprec)
+                hmax, hmin = hmax_ref[...], hmin_ref[...]
+                for kk in range(k):
+                    h = gfW[:, kk * t:(kk + 1) * t] - dT
+                    ink = inkW[:, kk * t:(kk + 1) * t]
+                    hmax = jnp.where(ink, jnp.maximum(hmax, h), hmax)
+                    hmin = jnp.where(ink, jnp.minimum(hmin, h), hmin)
+                hmax_ref[...], hmin_ref[...] = hmax, hmin
+            else:
+                def body(kk, _):
+                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                             t, start)
+                    gf = _gather_T(oh.astype(gch.dtype), gch, fprec)
+                    h = gf - dT
+                    hmax_ref[...] = jnp.where(
+                        ink, jnp.maximum(hmax_ref[...], h), hmax_ref[...])
+                    hmin_ref[...] = jnp.where(
+                        ink, jnp.minimum(hmin_ref[...], h), hmin_ref[...])
+                    return 0
 
-            jax.lax.fori_loop(0, k, body, 0)
+                jax.lax.fori_loop(0, k, body, 0)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -241,7 +269,7 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
                    ddT_ref, dd_ref, *, k: int, ns: int):
     tile = pl.program_id(1)
     t = idxT_ref.shape[2]
-    cs = min(ns, _NS_CHUNK)
+    cs = min(ns, _MAX_CS)
     trow = tile % 8
     dT = dT_ref[0].astype(jnp.float32)
     hmax = hmaxT_ref[0].astype(jnp.float32)
@@ -261,33 +289,67 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
             gch = g_ref[0, pl.ds(start, cs), :]
             fprec = (_HI if gch.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-
-            def body(kk, dg):
-                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+            if t % 128 == 0:
+                ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
                                          start)
-                gf = _gather_T(oh.astype(gch.dtype), gch, fprec)
-                h = gf - dT
-                inkf = ink.astype(jnp.float32)
-                contrib = inkf * ((h == hmax) * dmax
-                                  + (h == hmin) * dmin)  # [C, T]
-                dd_ref[...] = dd_ref[...] - contrib
-                return dg + jax.lax.dot_general(
-                    oh, contrib,
-                    dimension_numbers=(((1,), (1,)), ((), ())),  # contract T
-                    preferred_element_type=jnp.float32, precision=_HI)
+                ohWc = ohW.astype(gch.dtype)
+                gfW = _gather_T(ohWc, gch, fprec)  # [C, K*T]
+                parts = []
+                for kk in range(k):
+                    h = gfW[:, kk * t:(kk + 1) * t] - dT
+                    inkf = inkW[:, kk * t:(kk + 1) * t].astype(
+                        jnp.float32)
+                    contrib = inkf * ((h == hmax) * dmax
+                                      + (h == hmin) * dmin)  # [C, T]
+                    dd_ref[...] = dd_ref[...] - contrib
+                    parts.append(contrib.astype(gch.dtype))
+                dgW = jnp.concatenate(parts, axis=1)  # [C, K*T]
+                dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
+                    ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=fprec).astype(dg_ref.dtype)
+            else:
+                def body(kk, dg):
+                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                             t, start)
+                    gf = _gather_T(oh.astype(gch.dtype), gch, fprec)
+                    h = gf - dT
+                    inkf = ink.astype(jnp.float32)
+                    contrib = inkf * ((h == hmax) * dmax
+                                      + (h == hmin) * dmin)
+                    dd_ref[...] = dd_ref[...] - contrib
+                    return dg + jax.lax.dot_general(
+                        oh, contrib,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=_HI)
 
-            c = dT.shape[0]
-            dg = jax.lax.fori_loop(0, k, body,
-                                   jnp.zeros((cs, c), jnp.float32))
-            dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
+                c = dT.shape[0]
+                dg = jax.lax.fori_loop(0, k, body,
+                                       jnp.zeros((cs, c), jnp.float32))
+                dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
     ddT_ref[0] = dd_ref[...].astype(ddT_ref.dtype)
 
 
-@jax.custom_vjp
 def gather_sub_minmax(g, d, idx, mask):
+    """See _gather_sub_minmax_vjp; folds batch at small nq."""
+    from closerlook3d_tpu.ops.pallas.aggregation import _fold_batch
+    b, nq, k = idx.shape
+    ns, c = g.shape[1], g.shape[2]
+    if _fold_batch(nq, b):
+        off = (jnp.arange(b, dtype=idx.dtype) * ns)[:, None, None]
+        hmax, hmin = _mm_vjp(g.reshape(1, b * ns, c),
+                             d.reshape(1, b * nq, c),
+                             (idx + off).reshape(1, b * nq, k),
+                             mask.reshape(1, b * nq, k))
+        return hmax.reshape(b, nq, c), hmin.reshape(b, nq, c)
+    return _mm_vjp(g, d, idx, mask)
+
+
+@jax.custom_vjp
+def _mm_vjp(g, d, idx, mask):
     """(hmax, hmin) of h[t,k] = g[idx[t,k]] - d[t] over valid slots.
 
     g [B,Ns,C]; d [B,Nq,C]; idx [B,Nq,K] int32; mask [B,Nq,K] bool.
@@ -299,15 +361,16 @@ def gather_sub_minmax(g, d, idx, mask):
 
 def _mm_call(g, d, idx, mask):
     b, nq, k = idx.shape
-    _, g, _ = _pad_support(
-        jnp.zeros((g.shape[0], g.shape[1], 3), jnp.float32), g)
+    pad = (-g.shape[1]) % _MAX_CS
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
     ns, c = g.shape[1], g.shape[2]
     tile = _tile_chunked(nq)
     iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
     dp_, _ = _pad_queries(d, tile)
     dT = jnp.swapaxes(dp_, 1, 2)  # [B, C, Nqp]
     ntile = nqp // tile
-    cs = min(ns, _NS_CHUNK)
+    cs = min(ns, _MAX_CS)
     kern = functools.partial(_mm_fwd_kernel, k=k, ns=ns)
     hmaxT, hminT = pl.pallas_call(
         kern,
@@ -340,8 +403,9 @@ def _mm_bwd(res, dys):
     dmax, dmin = dys
     b, nq, k = idx.shape
     ns0 = g.shape[1]
-    _, g, _ = _pad_support(
-        jnp.zeros((g.shape[0], g.shape[1], 3), jnp.float32), g)
+    pad = (-g.shape[1]) % _MAX_CS
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
     ns, c = g.shape[1], g.shape[2]
     tile = _tile_chunked(nq)
     iT, mT, _, nqp = _prep_iq(idx, mask, tile)
@@ -353,7 +417,7 @@ def _mm_bwd(res, dys):
     dT, hmaxT, hminT = t_of(d), t_of(hmax), t_of(hmin)
     dmaxT, dminT = t_of(dmax), t_of(dmin)
     ntile = nqp // tile
-    cs = min(ns, _NS_CHUNK)
+    cs = min(ns, _MAX_CS)
     kern = functools.partial(_mm_bwd_kernel, k=k, ns=ns)
     qT = _qTspec(tile, c)
     dg, ddT = pl.pallas_call(
@@ -376,7 +440,7 @@ def _mm_bwd(res, dys):
     return dg[:, :ns0], jnp.swapaxes(ddT, 1, 2)[:, :nq], None, None
 
 
-gather_sub_minmax.defvjp(_mm_fwd, _mm_bwd)
+_mm_vjp.defvjp(_mm_fwd, _mm_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -390,12 +454,32 @@ gather_sub_minmax.defvjp(_mm_fwd, _mm_bwd)
 # query-channel's dy to the FIRST argmax slot in (chunk, k) order —
 # torch's single-index max-backward semantics (jnp even-splits ties;
 # identical for distinct values).
+#
+# Structure: ONE wide one-hot [cs, K*T] per chunk (k-major lanes, built
+# in a single vectorized compare from the [K,T]->[1,K*T] reshaped index
+# block) feeding ONE matmul [cs,C]x[cs,K*T] -> [C,K*T]; the per-slot
+# [C,T] views are static lane slices (T is a 128 multiple). A per-k
+# matmul formulation is MXU-launch-bound and measured ~2x slower.
+
+
+_MAX_CS = int(os.environ.get("CL3D_MAX_CS", "512"))
+
+
+def _wide_onehot(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
+    """One-hot [cs, K*T] (k-major lanes) + per-slot in-chunk rows
+    ([1, K*T]): column k*T+t is slot k of query t."""
+    rowW = idxT_ref[0].reshape(1, k * t)
+    mW = maskT_ref[0].reshape(1, k * t) != 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cs, k * t), 0) + start
+    inkW = mW & (rowW >= start) & (rowW < start + cs)
+    ohW = (iota == rowW) & mW
+    return ohW, inkW
 
 
 def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
                     acc_ref, *, k: int, ns: int):
     t = idxT_ref.shape[2]
-    cs = min(ns, _NS_CHUNK)
+    cs = min(ns, _MAX_CS)
     trow = pl.program_id(1) % 8
     acc_ref[...] = jnp.full(acc_ref.shape, -_BIG, acc_ref.dtype)
 
@@ -409,16 +493,26 @@ def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
             # MXU rate of f32 HIGHEST
             prec = (_HI if fch.dtype == jnp.float32
                     else jax.lax.Precision.DEFAULT)
-
-            def body(kk, _):
-                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+            if t % 128 == 0:
+                ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
                                          start)
-                gfT = _gather_T(oh.astype(fch.dtype), fch, prec)  # [C,T]
-                acc_ref[...] = jnp.maximum(
-                    acc_ref[...], jnp.where(ink, gfT, -_BIG))
-                return 0
+                gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
+                acc = acc_ref[...]
+                for kk in range(k):  # static lane slices, cheap maxes
+                    g = gW[:, kk * t:(kk + 1) * t]
+                    ink = inkW[:, kk * t:(kk + 1) * t]
+                    acc = jnp.maximum(acc, jnp.where(ink, g, -_BIG))
+                acc_ref[...] = acc
+            else:
+                def body(kk, _):
+                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                             t, start)
+                    gfT = _gather_T(oh.astype(fch.dtype), fch, prec)
+                    acc_ref[...] = jnp.maximum(
+                        acc_ref[...], jnp.where(ink, gfT, -_BIG))
+                    return 0
 
-            jax.lax.fori_loop(0, k, body, 0)
+                jax.lax.fori_loop(0, k, body, 0)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -431,7 +525,7 @@ def _max_bwd_kernel(feats_ref, idxT_ref, maskT_ref, maxT_ref, dyT_ref,
                     flags_ref, dfeats_ref, routed_ref, *, k: int, ns: int):
     tile = pl.program_id(1)
     t = idxT_ref.shape[2]
-    cs = min(ns, _NS_CHUNK)
+    cs = min(ns, _MAX_CS)
     trow = tile % 8
 
     @pl.when(tile == 0)
@@ -449,33 +543,65 @@ def _max_bwd_kernel(feats_ref, idxT_ref, maskT_ref, maxT_ref, dyT_ref,
             fch = feats_ref[0, pl.ds(start, cs), :]
             prec = (_HI if fch.dtype == jnp.float32
                     else jax.lax.Precision.DEFAULT)
-
-            def body(kk, df):
-                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
+            if t % 128 == 0:
+                ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
                                          start)
-                ohc = oh.astype(fch.dtype)
-                gfT = _gather_T(ohc, fch, prec)
-                sel = ((gfT == mx) & ink
-                       & (routed_ref[...] == 0.0)).astype(jnp.float32)
-                routed_ref[...] = routed_ref[...] + sel
-                return df + jax.lax.dot_general(
-                    ohc, (dy * sel).astype(fch.dtype),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
+                ohWc = ohW.astype(fch.dtype)
+                gW = _gather_T(ohWc, fch, prec)  # [C, K*T]
+                # first-wins argmax routing, sequential over [C,T] views
+                parts = []
+                for kk in range(k):
+                    g = gW[:, kk * t:(kk + 1) * t]
+                    ink = inkW[:, kk * t:(kk + 1) * t]
+                    sel = ((g == mx) & ink
+                           & (routed_ref[...] == 0.0)).astype(jnp.float32)
+                    routed_ref[...] = routed_ref[...] + sel
+                    parts.append((dy * sel).astype(fch.dtype))
+                dgW = jnp.concatenate(parts, axis=1)  # [C, K*T]
+                dfeats_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
+                    ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec).astype(dfeats_ref.dtype)
+            else:
+                def body(kk, df):
+                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                             t, start)
+                    ohc = oh.astype(fch.dtype)
+                    gfT = _gather_T(ohc, fch, prec)
+                    sel = ((gfT == mx) & ink
+                           & (routed_ref[...] == 0.0)).astype(jnp.float32)
+                    routed_ref[...] = routed_ref[...] + sel
+                    return df + jax.lax.dot_general(
+                        ohc, (dy * sel).astype(fch.dtype),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
 
-            df = jax.lax.fori_loop(
-                0, k, body, jnp.zeros((cs, dfeats_ref.shape[2]),
-                                      jnp.float32))
-            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(
-                dfeats_ref.dtype)
+                df = jax.lax.fori_loop(
+                    0, k, body, jnp.zeros((cs, dfeats_ref.shape[2]),
+                                          jnp.float32))
+                dfeats_ref[0, pl.ds(start, cs), :] += df.astype(
+                    dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
-@jax.custom_vjp
 def neighborhood_max(features, idx, mask):
     """[B, Nq, C] = max_k masked features[idx[.., k]] (empty -> 0)."""
+    from closerlook3d_tpu.ops.pallas.aggregation import _fold_batch
+    b, nq, k = idx.shape
+    ns, c = features.shape[1], features.shape[2]
+    if _fold_batch(nq, b):
+        off = (jnp.arange(b, dtype=idx.dtype) * ns)[:, None, None]
+        out = _max_vjp(features.reshape(1, b * ns, c),
+                       (idx + off).reshape(1, b * nq, k),
+                       mask.reshape(1, b * nq, k))
+        return out.reshape(b, nq, c)
+    return _max_vjp(features, idx, mask)
+
+
+@jax.custom_vjp
+def _max_vjp(features, idx, mask):
     out, _ = _max_call(features, idx, mask)
     return out
 
@@ -483,14 +609,14 @@ def neighborhood_max(features, idx, mask):
 def _max_call(features, idx, mask):
     b, nq, k = idx.shape
     dtype = features.dtype
-    _, features, _ = _pad_support(
-        jnp.zeros((features.shape[0], features.shape[1], 3),
-                  jnp.float32), features)
+    pad = (-features.shape[1]) % _MAX_CS
+    if pad:
+        features = jnp.pad(features, ((0, 0), (0, pad), (0, 0)))
     ns, c = features.shape[1], features.shape[2]
     tile = _tile_chunked(nq)
     iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
     ntile = nqp // tile
-    cs = min(ns, _NS_CHUNK)
+    cs = min(ns, _MAX_CS)
     kern = functools.partial(_max_fwd_kernel, k=k, ns=ns)
     outT = pl.pallas_call(
         kern,
@@ -517,16 +643,16 @@ def _max_bwd(res, dy):
     features, idx, mask, maxT = res
     b, nq, k = idx.shape
     ns0 = features.shape[1]
-    _, features, _ = _pad_support(
-        jnp.zeros((features.shape[0], features.shape[1], 3),
-                  jnp.float32), features)
+    pad = (-features.shape[1]) % _MAX_CS
+    if pad:
+        features = jnp.pad(features, ((0, 0), (0, pad), (0, 0)))
     ns, c = features.shape[1], features.shape[2]
     tile = _tile_chunked(nq)
     iT, mT, _, nqp = _prep_iq(idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
     dyT = jnp.swapaxes(dyp, 1, 2)
     ntile = nqp // tile
-    cs = min(ns, _NS_CHUNK)
+    cs = min(ns, _MAX_CS)
     kern = functools.partial(_max_bwd_kernel, k=k, ns=ns)
     dfeats = pl.pallas_call(
         kern,
@@ -546,4 +672,4 @@ def _max_bwd(res, dy):
     return dfeats[:, :ns0], None, None
 
 
-neighborhood_max.defvjp(_max_fwd, _max_bwd)
+_max_vjp.defvjp(_max_fwd, _max_bwd)

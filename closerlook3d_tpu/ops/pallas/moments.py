@@ -130,8 +130,26 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def neighborhood_moments(query_xyz, support_xyz, features, idx, mask,
+                         radius, reduction: str):
+    from closerlook3d_tpu.ops.pallas.aggregation import _fold_batch
+    b, nq, k = idx.shape
+    ns, c = features.shape[1], features.shape[2]
+    if _fold_batch(nq, b):
+        off = (jnp.arange(b, dtype=idx.dtype) * ns)[:, None, None]
+        out = _moments_vjp(
+            query_xyz.reshape(1, b * nq, 3),
+            support_xyz.reshape(1, b * ns, 3),
+            features.reshape(1, b * ns, c),
+            (idx + off).reshape(1, b * nq, k),
+            mask.reshape(1, b * nq, k), radius, reduction)
+        return out.reshape(b, nq, -1)
+    return _moments_vjp(query_xyz, support_xyz, features, idx, mask,
+                        radius, reduction)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _moments_vjp(query_xyz, support_xyz, features, idx, mask,
                          radius: float, reduction: str = "avg"):
     """[B, Nq, 4C]: masked [R(f), R(dp_x f), R(dp_y f), R(dp_z f)].
 
@@ -219,4 +237,4 @@ def _bwd(radius, reduction, res, dy):
             dfeats[:, :ns0], None, None)
 
 
-neighborhood_moments.defvjp(_fwd, _bwd)
+_moments_vjp.defvjp(_fwd, _bwd)

@@ -143,8 +143,26 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def pseudo_grid_fused(query_xyz, support_xyz, features, idx, mask, kp,
+                      radius, extent: float, mode: str):
+    from closerlook3d_tpu.ops.pallas.aggregation import _fold_batch
+    b, nq, k = idx.shape
+    ns, c = features.shape[1], features.shape[2]
+    if _fold_batch(nq, b):
+        off = (jnp.arange(b, dtype=idx.dtype) * ns)[:, None, None]
+        out = _pg_vjp(
+            query_xyz.reshape(1, b * nq, 3),
+            support_xyz.reshape(1, b * ns, 3),
+            features.reshape(1, b * ns, c),
+            (idx + off).reshape(1, b * nq, k),
+            mask.reshape(1, b * nq, k), kp, radius, extent, mode)
+        return out.reshape(b, nq, -1)
+    return _pg_vjp(query_xyz, support_xyz, features, idx, mask, kp,
+                   radius, extent, mode)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _pg_vjp(query_xyz, support_xyz, features, idx, mask, kp,
                       radius: float, extent: float, mode: str = "linear"):
     """[B, Nq, Kp*C] kernel-point distributed features (p-major).
 
@@ -248,4 +266,4 @@ def _bwd(radius, extent, mode, res, dy):
             dfeats[:, :ns0], None, None, jnp.zeros_like(kp))
 
 
-pseudo_grid_fused.defvjp(_fwd, _bwd)
+_pg_vjp.defvjp(_fwd, _bwd)
