@@ -219,8 +219,26 @@ def _one_hot_chunk(idxT_ref, maskT_ref, kk, cs: int, t: int, start):
     return oh.astype(jnp.float32), ink
 
 
+def _wide_onehot(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
+    """One-hot [cs, K*T] (k-major lanes) + per-slot in-chunk rows
+    ([1, K*T]): column k*T+t is slot k of query t. ONE vectorized
+    compare instead of a K-iteration loop; requires t % 128 == 0
+    (Mosaic's [K,T]->[1,K*T] reshape needs lane-aligned T)."""
+    rowW = idxT_ref[0].reshape(1, k * t)
+    mW = maskT_ref[0].reshape(1, k * t) != 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cs, k * t), 0) + start
+    inkW = mW & (rowW >= start) & (rowW < start + cs)
+    ohW = (iota == rowW) & mW
+    return ohW, inkW
+
+
 def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
-    """Per-support-chunk masked multi-hot [cs, T] (chunk begins at start)."""
+    """Per-support-chunk masked multi-hot [cs, T] (chunk begins at start).
+
+    Deliberately a rolled fori loop: building via _wide_onehot + a
+    [cs,K,T] reshape-sum was measured SLOWER (seg step 94.5 -> 129.7
+    ms) — the per-chunk relayout outweighs the loop overhead here.
+    """
     iota = jax.lax.broadcasted_iota(jnp.int32, (cs, t), 0) + start
 
     def body(kk, m):

@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
+    _wide_onehot,
     _chunk_flags,
     _flag,
     _flags_spec,
@@ -463,17 +464,6 @@ _mm_vjp.defvjp(_mm_fwd, _mm_bwd)
 
 
 _MAX_CS = int(os.environ.get("CL3D_MAX_CS", "512"))
-
-
-def _wide_onehot(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
-    """One-hot [cs, K*T] (k-major lanes) + per-slot in-chunk rows
-    ([1, K*T]): column k*T+t is slot k of query t."""
-    rowW = idxT_ref[0].reshape(1, k * t)
-    mW = maskT_ref[0].reshape(1, k * t) != 0
-    iota = jax.lax.broadcasted_iota(jnp.int32, (cs, k * t), 0) + start
-    inkW = mW & (rowW >= start) & (rowW < start + cs)
-    ohW = (iota == rowW) & mW
-    return ohW, inkW
 
 
 def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
