@@ -170,7 +170,13 @@ def knn(
     """
     from closerlook3d_tpu.ops.dispatch import prefer_pallas
     if prefer_pallas():
-        from closerlook3d_tpu.ops.pallas.neighbors import knn_pallas
+        from closerlook3d_tpu.ops.pallas.neighbors import (
+            knn1_pallas_chunked, knn_pallas)
+        # decoder 1-NN at scale: bbox-pruned chunk skipping (exact; the
+        # min-over-chunks farthest-box distance bounds the 1-NN)
+        if k == 1 and support_xyz.shape[1] >= 1024:
+            return knn1_pallas_chunked(query_xyz, support_xyz,
+                                       support_mask=support_mask)
         return knn_pallas(query_xyz, support_xyz, k,
                           support_mask=support_mask)
 

@@ -349,6 +349,145 @@ def _tile_chunked_bq(nq: int) -> int:
 _BQ_TILE = 128
 
 
+# --------------------------------------------------------------------------
+# Chunk-skipping 1-NN (decoder upsample indices)
+# --------------------------------------------------------------------------
+#
+# No radius to prune with, so the bound is geometric: every query in a
+# tile has SOME support within ub = min over nonempty chunks of the
+# farthest tile-box/chunk-box distance; chunks whose nearest-box
+# distance exceeds ub cannot hold any query's 1-NN. With sorted inputs
+# that leaves 1-3 active chunks of 30 at S3DIS scale. Exact.
+
+
+def _knn1_bbox_flags(qp, qmp, sp, smp, tile: int, cs: int):
+    b, nqp, _ = qp.shape
+    ntile = nqp // tile
+    big = jnp.float32(1e9)
+    q = qp.reshape(b, ntile, tile, 3)
+    qm = qmp.reshape(b, ntile, tile, 1)
+    qmin = jnp.min(jnp.where(qm, q, big), axis=2)
+    qmax = jnp.max(jnp.where(qm, q, -big), axis=2)
+    c = sp.shape[1] // cs
+    s = sp.reshape(b, c, cs, 3)
+    sm = smp.reshape(b, c, cs, 1)
+    smin = jnp.min(jnp.where(sm, s, big), axis=2)
+    smax = jnp.max(jnp.where(sm, s, -big), axis=2)
+    lo = jnp.clip(jnp.maximum(qmin[:, :, None] - smax[:, None],
+                              smin[:, None] - qmax[:, :, None]), 0.0, big)
+    lo2 = jnp.sum(lo * lo, axis=-1)  # [B, ntile, C] nearest-box dist^2
+    hi = jnp.maximum(jnp.maximum(qmax[:, :, None] - smin[:, None],
+                                 smax[:, None] - qmin[:, :, None]), 0.0)
+    hi = jnp.clip(hi, 0.0, big)
+    hi2 = jnp.sum(hi * hi, axis=-1)  # farthest-box dist^2
+    empty = jnp.any(smin > smax, axis=-1)  # [B, C] no valid points
+    hi2 = jnp.where(empty[:, None, :], jnp.float32(4e18), hi2)
+    ub = jnp.min(hi2, axis=-1, keepdims=True)  # [B, ntile, 1]
+    flags = (lo2 <= ub * 1.0001 + 1e-9).astype(jnp.int32)
+    pad = (-ntile) % 8
+    if pad:
+        flags = jnp.pad(flags, ((0, 0), (0, pad), (0, 0)))
+    return flags
+
+
+def _knn1_chunked_kernel(qxyz_ref, saug_ref, flags_ref, idx_ref, d2_ref,
+                         bd_ref, bi_ref, *, cs: int, nchunks: int):
+    t = qxyz_ref.shape[1]
+    q = qxyz_ref[0]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+    qaug = jnp.concatenate([q, jnp.ones((t, 1), jnp.float32)], axis=1)
+    trow = pl.program_id(1) % 8
+    iota_cs = jax.lax.broadcasted_iota(jnp.int32, (t, cs), 1)
+    bd_ref[...] = jnp.full((t, 1), _BIG, jnp.float32)
+    bi_ref[...] = jnp.zeros((t, 1), jnp.int32)
+
+    def chunk_body(ci, _):
+        @pl.when(flags_ref[0, trow, ci] != 0)
+        def _():
+            start = ci * cs
+            sa = saug_ref[0, pl.ds(start, cs), :]
+            d2c = q2 + jax.lax.dot_general(
+                qaug, sa, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            d2c = jnp.maximum(d2c, 0.0)
+            cmin = jnp.min(d2c, axis=1, keepdims=True)
+            cand = jnp.min(jnp.where(d2c == cmin, iota_cs + start,
+                                     jnp.int32(2**30)),
+                           axis=1, keepdims=True)
+            # strict < keeps the earlier (lower-index) chunk on ties
+            upd = cmin < bd_ref[...]
+            bi_ref[...] = jnp.where(upd, cand, bi_ref[...])
+            bd_ref[...] = jnp.where(upd, cmin, bd_ref[...])
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    idx_ref[0] = bi_ref[...]
+    d2_ref[0] = bd_ref[...]
+
+
+@jax.jit
+def knn1_pallas_chunked(query_xyz, support_xyz, query_mask=None,
+                        support_mask=None) -> Tuple[jax.Array, jax.Array]:
+    """Chunk-skipping 1-NN: (idx, dist2), each [B, Nq, 1]."""
+    b, nq, _ = query_xyz.shape
+    ns = support_xyz.shape[1]
+    if query_mask is None:
+        query_mask = jnp.ones((b, nq), bool)
+    if support_mask is None:
+        support_mask = jnp.ones((b, ns), bool)
+    cs = _BQ_CS
+    tile = _tile_chunked_bq(nq)
+    qp, nq0 = _pad_queries(query_xyz.astype(jnp.float32), tile)
+    qmp, _ = _pad_queries(query_mask[..., None], tile)
+    qp = jnp.where(qmp, qp, 1e7)
+    ntile = qp.shape[1] // tile
+    sx = support_xyz.astype(jnp.float32)
+    pad = (-ns) % cs
+    if pad:
+        sx = jnp.pad(sx, ((0, 0), (0, pad), (0, 0)))
+        support_mask = jnp.pad(support_mask, ((0, 0), (0, pad)))
+    sx = jnp.where(support_mask[..., None], sx, 1e6)
+    nsp = sx.shape[1]
+    flags = _knn1_bbox_flags(qp, qmp, sx, support_mask[..., None], tile,
+                             cs)
+    s2 = jnp.sum(sx * sx, axis=2, keepdims=True)
+    saug = jnp.concatenate([-2.0 * sx, s2], axis=2)
+
+    kern = functools.partial(_knn1_chunked_kernel, cs=cs,
+                             nchunks=nsp // cs)
+    idx, d2 = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nsp, 4), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nsp // cs), lambda bi, ti: (bi, ti // 8, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, 1), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, qp.shape[1], 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, qp.shape[1], 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qp, saug, flags)
+    return idx[:, :nq0], d2[:, :nq0]
+
+
 def _knn_kernel(qxyz_ref, sxyzt_ref, smask_ref, idx_ref, d2_ref,
                 *, k: int, ns: int):
     t = qxyz_ref.shape[1]

@@ -105,3 +105,36 @@ def test_ball_query_chunked_unsorted_still_exact():
     np.testing.assert_array_equal(np.asarray(rm), np.asarray(pm))
     rm_ = np.asarray(rm)
     np.testing.assert_array_equal(np.asarray(ri)[rm_], np.asarray(pi)[rm_])
+
+
+def test_knn1_chunked_matches_jnp():
+    from closerlook3d_tpu.ops.neighbors import knn
+    from closerlook3d_tpu.ops.pallas.neighbors import knn1_pallas_chunked
+    from closerlook3d_tpu.data.spatial_host import morton_sort_batch
+
+    rng = np.random.default_rng(31)
+    q = rng.uniform(-1, 1, size=(2, 900, 3)).astype(np.float32)
+    s = rng.uniform(-1, 1, size=(2, 1200, 3)).astype(np.float32)
+    smask = np.ones((2, 1200), bool)
+    smask[1, 1000:] = False
+    bs = morton_sort_batch({"xyz": s, "mask": smask})
+    s, smask = jnp.array(bs["xyz"]), jnp.array(bs["mask"])
+    q = jnp.array(morton_sort_batch({"xyz": q,
+                                     "mask": np.ones((2, 900), bool)})["xyz"])
+    ri, rd = knn(q, s, 1, support_mask=smask)
+    pi, pd = knn1_pallas_chunked(q, s, support_mask=smask)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(pi))
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(pd),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_knn1_chunked_unsorted_still_exact():
+    from closerlook3d_tpu.ops.neighbors import knn
+    from closerlook3d_tpu.ops.pallas.neighbors import knn1_pallas_chunked
+
+    rng = np.random.default_rng(32)
+    q = jnp.array(rng.uniform(-1, 1, size=(1, 300, 3)).astype(np.float32))
+    s = jnp.array(rng.uniform(-1, 1, size=(1, 1100, 3)).astype(np.float32))
+    ri, _ = knn(q, s, 1)
+    pi, _ = knn1_pallas_chunked(q, s)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(pi))
