@@ -8,9 +8,22 @@ Computes the kernel-point feature distribution without materializing
     infl constant: [|Δp - kp_p| <= extent]
     infl gaussian: exp(-|Δp - kp_p|² / (2 (0.3 extent)²))
 
+FACTORIZED formulation (the pospool-xyz trick extended to kernel
+points): the influence depends on (support s, query t) only through
+Δp(s,t) — never on the neighbor slot k — so the slot sum collapses
+into the masked multi-hot M[s,t] = Σ_k mask_k·[idx_k(t)=s]:
+
+    h[p*C+c, t] = Σ_s (M[s,t] · infl_p(s,t)) · f[s, c]
+
+Per support chunk that is ONE multi-hot build (k cheap compares) plus,
+per kernel point, a [cs,T] influence map and a single [C,cs]x[cs,T]
+MXU matmul — replacing the old per-slot gathers × per-kernel-point VPU
+products (k·Kp elementwise [C,T] ops). Duplicated valid indices sum in
+M exactly as they do in the reference's slot loop.
+
 The per-kernel-point weight matmul (h @ W) stays OUTSIDE in flax so W's
 gradient is ordinary autodiff; this kernel is differentiable in the
-features (custom VJP: influence-weighted transposed one-hot matmuls).
+features (custom VJP: the transposed influence-weighted matmuls).
 
 Transposed layout (channels/kernel-points on sublanes, queries on
 lanes) shared with the rest of ops/pallas; output is [B, Kp*C, Nq]
@@ -31,9 +44,8 @@ from closerlook3d_tpu.ops.pallas.aggregation import (
     _chunk_flags,
     _flag,
     _flags_spec,
-    _gather_T,
     _interpret,
-    _one_hot_chunk,
+    _multi_hot_chunk,
     _pad_queries,
     _pad_support,
     _prep_tq,
@@ -43,12 +55,17 @@ from closerlook3d_tpu.ops.pallas.aggregation import (
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _influence(dpT, kp_ref, p: int, extent: float, mode: str):
-    """[1, T] influence of kernel point p given dp [3, T]."""
-    d2 = jnp.zeros((1, dpT.shape[1]), jnp.float32)
+def _influence_cs(dps, kp_ref, p: int, extent: float, mode: str):
+    """[cs, T] influence of kernel point p from per-coord outer diffs.
+
+    dps: three [cs, T] radius-normalized coordinate differences
+    (support s minus query t). Values for non-neighbor (s, t) pairs are
+    garbage-but-finite; the multi-hot zeroes them out.
+    """
+    d2 = None
     for dim in range(3):
-        diff = dpT[dim:dim + 1, :] - kp_ref[0, p, dim]
-        d2 = d2 + diff * diff
+        diff = dps[dim] - kp_ref[0, p, dim]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
     if mode == "linear":
         return jnp.maximum(1.0 - jnp.sqrt(d2) * (1.0 / extent), 0.0)
     if mode == "constant":
@@ -74,26 +91,24 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
-            sxch = sxyz_ref[0, pl.ds(start, cs), :]
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
             fch = feats_ref[0, pl.ds(start, cs), :]
+            # bf16 features: bf16 x bf16 single-pass MXU matmuls (the
+            # influence weights tolerate bf16 like every other bf16 op);
+            # f32 features keep full precision (parity tests).
             fprec = (_HI if fch.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-
-            def body(kk, _):
-                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
-                                         start)
-                pjT = _gather_T(oh, sxch, _HI)  # [3, T]
-                gfT = _gather_T(oh.astype(fch.dtype), fch, fprec)  # [C,T]
-                dpT = (pjT - qT) * inv_r
-                inkf = ink.astype(jnp.float32)
-                parts = []
-                for p in range(kpn):
-                    infl = _influence(dpT, kp_ref, p, extent, mode) * inkf
-                    parts.append(gfT * infl)
-                acc_ref[...] = acc_ref[...] + jnp.concatenate(parts, axis=0)
-                return 0
-
-            jax.lax.fori_loop(0, k, body, 0)
+            dps = [(sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
+                   for d in range(3)]  # 3 x [cs, T]
+            for p in range(kpn):
+                w = m * _influence_cs(dps, kp_ref, p, extent, mode)
+                acc_ref[p * channels:(p + 1) * channels, :] += (
+                    jax.lax.dot_general(
+                        fch, w.astype(fch.dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=fprec))
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -109,7 +124,8 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
     trow = tile % 8
     qT = qxyzT_ref[0]
     inv_r = 1.0 / radius
-    dy = dyT_ref[0].astype(jnp.float32)  # [Kp*C, T]
+    dy = dyT_ref[0]  # [Kp*C, T]
+    dprec = _HI if dy.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
     @pl.when(tile == 0)
     def _():
@@ -119,24 +135,17 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
-            sxch = sxyz_ref[0, pl.ds(start, cs), :]
-
-            def body(kk, df):
-                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
-                                         start)
-                pjT = _gather_T(oh, sxch, _HI)
-                dpT = (pjT - qT) * inv_r
-                inkf = ink.astype(jnp.float32)
-                dgf = jnp.zeros((channels, t), jnp.float32)
-                for p in range(kpn):
-                    infl = _influence(dpT, kp_ref, p, extent, mode) * inkf
-                    dgf = dgf + infl * dy[p * channels:(p + 1) * channels, :]
-                return df + jax.lax.dot_general(
-                    oh, dgf, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI)
-
-            df = jax.lax.fori_loop(
-                0, k, body, jnp.zeros((cs, channels), jnp.float32))
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            sx = sxyz_ref[0, pl.ds(start, cs), :]
+            dps = [(sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
+                   for d in range(3)]
+            df = jnp.zeros((cs, channels), jnp.float32)
+            for p in range(kpn):
+                w = m * _influence_cs(dps, kp_ref, p, extent, mode)
+                df = df + jax.lax.dot_general(
+                    w.astype(dy.dtype), dy[p * channels:(p + 1) * channels, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=dprec)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
