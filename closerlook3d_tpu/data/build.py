@@ -17,7 +17,7 @@ def build_dataset(cfg, split: str):
         return ShapeNetPart(cfg, split)
     if name == "partnet":
         from closerlook3d_tpu.data.partnet import PartNet
-        ds = PartNet(cfg, split)
+        ds = PartNet(cfg, split, level=cfg.partnet_level)
         cfg.num_parts = list(ds.num_parts)
         cfg.task = "part_segmentation"
         return ds

@@ -29,8 +29,19 @@ def build() -> str:
 if __name__ == "__main__":
     path = build()
     print("built:", path)
-    # smoke-test the import
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))))
-    from closerlook3d_tpu.native import HAVE_NATIVE  # noqa: E402
-    print("import ok, HAVE_NATIVE =", HAVE_NATIVE)
+    # smoke-test the import in a FRESH interpreter: this process ran
+    # `python -m closerlook3d_tpu.native.build`, which already imported
+    # closerlook3d_tpu.native (pre-build, HAVE_NATIVE=False) — a stale
+    # in-process re-import would report failure on success.
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from closerlook3d_tpu.native import HAVE_NATIVE; "
+         "print('import ok, HAVE_NATIVE =', HAVE_NATIVE); "
+         "raise SystemExit(0 if HAVE_NATIVE else 1)"],
+        env=env)
+    if out.returncode != 0:
+        raise SystemExit("native extension built but failed to import")

@@ -44,6 +44,7 @@ def default_config() -> ConfigDict:
     c.num_steps = 2000  # steps per pseudo-epoch (scene tasks)
     c.num_votes = 20  # eval vote rounds (sliding spheres)
     c.s3dis_test_area = 5
+    c.partnet_level = 3  # PartNet semantic level: 1 coarse | 2 | 3 fine
 
     # augmentation
     c.augment_rotation = "z"  # none|z|so3
