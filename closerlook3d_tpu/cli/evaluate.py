@@ -14,7 +14,10 @@ from closerlook3d_tpu.cli.train import parse_overrides
 from closerlook3d_tpu.data import BatchIterator, build_dataset
 from closerlook3d_tpu.data.loader import feature_dim
 from closerlook3d_tpu.models import build_model
-from closerlook3d_tpu.parallel.mesh import make_mesh
+from closerlook3d_tpu.parallel.mesh import (
+    make_mesh,
+    maybe_initialize_distributed,
+)
 from closerlook3d_tpu.train.checkpoints import CheckpointManager
 from closerlook3d_tpu.train.evaluate import (
     evaluate_partseg,
@@ -36,6 +39,7 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
+    maybe_initialize_distributed()  # multi-host: before any backend use
     cfg = load_config(args.cfg, parse_overrides(args.overrides))
     logger = setup_logger(args.log_dir)
     dataset = build_dataset(cfg, "test")

@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = p.parse_args(argv)
 
+    from closerlook3d_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()  # multi-host: before any backend use
+
     cfg = load_config(args.cfg, parse_overrides(args.overrides))
     trainer = Trainer(cfg, args.log_dir, load_path=args.load_path)
     trainer.fit()

@@ -57,7 +57,8 @@ class BatchIterator:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  feature_spec: str, seed: int = 0, drop_last: bool = True,
-                 transform=None, spatial_sort: bool = False):
+                 transform=None, spatial_sort: bool = False,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -68,10 +69,20 @@ class BatchIterator:
         # host-side Morton sort (cfg.spatial_sort == "host"); redundant
         # when transform is the geometry precompute, which sorts itself
         self.spatial_sort = spatial_sort
+        # multi-host sharding (DistributedSampler semantics): every
+        # process sees the same shuffled order, takes a strided slice,
+        # padded by wrapping so all processes yield EQUAL batch counts
+        # (collective steps must stay in lockstep).
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
-    def __len__(self):
+    def _local_count(self) -> int:
         n = len(self.dataset)
+        return -(-n // self.process_count)  # ceil: pad-by-wrap below
+
+    def __len__(self):
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -80,11 +91,15 @@ class BatchIterator:
         self.epoch = epoch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 65537 + self.epoch)
             rng.shuffle(order)
+        if self.process_count > 1:
+            order = np.resize(order,
+                              self._local_count() * self.process_count)
+            order = order[self.process_index::self.process_count]
+        n = len(order)
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
         for start in range(0, stop, bs):

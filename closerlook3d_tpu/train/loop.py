@@ -55,14 +55,20 @@ class Trainer:
                 precompute_batch_geometry
             transform = functools.partial(precompute_batch_geometry, cfg=cfg)
         host_sort = (cfg.spatial_sort == "host" and transform is None)
+        # cfg.batch_size is the PER-PROCESS batch on multi-host runs
+        # (shard_batch assembles the global array); the sample order is
+        # sharded DistributedSampler-style across processes.
+        pidx, pcnt = jax.process_index(), jax.process_count()
         self.train_iter = BatchIterator(
             self.train_set, cfg.batch_size, shuffle=True,
             feature_spec=cfg.input_features, seed=cfg.rng_seed,
-            transform=transform, spatial_sort=host_sort)
+            transform=transform, spatial_sort=host_sort,
+            process_index=pidx, process_count=pcnt)
         self.val_iter = BatchIterator(
             self.val_set, cfg.batch_size, shuffle=False,
             feature_spec=cfg.input_features, seed=cfg.rng_seed,
-            drop_last=False, transform=transform, spatial_sort=host_sort)
+            drop_last=False, transform=transform, spatial_sort=host_sort,
+            process_index=pidx, process_count=pcnt)
 
         self.mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
         self.model, self.loss_fn = build_model(cfg)

@@ -1,0 +1,94 @@
+"""Multi-host plumbing tests (single-process verifiable pieces).
+
+The DistributedSampler-style order sharding in BatchIterator and the
+env gating of maybe_initialize_distributed are pure host logic — fully
+testable without a cluster. The cross-host array assembly
+(jax.make_array_from_process_local_data) is library code gated on
+process_count > 1 and cannot be simulated in-process; shard_batch's
+single-process path is exercised by every train test.
+"""
+
+import os
+
+import numpy as np
+
+
+class _IdxDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"xyz": np.full((4, 3), i, np.float32),
+                "mask": np.ones(4, bool),
+                "label": np.int32(i)}
+
+
+def _labels_seen(it):
+    out = []
+    for batch in it:
+        out.extend(batch["label"].tolist())
+    return out
+
+
+def test_batch_iterator_process_sharding_partitions():
+    from closerlook3d_tpu.data.loader import BatchIterator
+
+    ds = _IdxDataset(24)  # 24 / 4 procs = 6 local = 3 full batches of 2
+    iters = [BatchIterator(ds, 2, shuffle=True, feature_spec="xyz",
+                           seed=3, process_index=p, process_count=4)
+             for p in range(4)]
+    for it in iters:
+        it.set_epoch(1)
+    # equal batch counts on every process (lockstep collectives)
+    assert len({len(it) for it in iters}) == 1
+    seen = [_labels_seen(it) for it in iters]
+    assert len({len(s) for s in seen}) == 1
+    # union covers the dataset exactly (no wrap pad, no drop_last loss)
+    union = sorted(x for s in seen for x in s)
+    assert union == sorted(range(24))
+
+
+def test_batch_iterator_process_sharding_wraps_remainder():
+    from closerlook3d_tpu.data.loader import BatchIterator
+
+    ds = _IdxDataset(10)  # 10 over 3 processes -> ceil 4 each, 2 wrapped
+    iters = [BatchIterator(ds, 2, shuffle=False, feature_spec="xyz",
+                           process_index=p, process_count=3)
+             for p in range(3)]
+    seen = [_labels_seen(it) for it in iters]
+    assert all(len(s) == 4 for s in seen)
+    assert set(x for s in seen for x in s) == set(range(10))
+
+
+def test_batch_iterator_single_process_unchanged():
+    from closerlook3d_tpu.data.loader import BatchIterator
+
+    ds = _IdxDataset(10)
+    a = _labels_seen(BatchIterator(ds, 2, shuffle=True,
+                                   feature_spec="xyz", seed=5))
+    b = _labels_seen(BatchIterator(ds, 2, shuffle=True, feature_spec="xyz",
+                                   seed=5, process_index=0,
+                                   process_count=1))
+    assert a == b and sorted(a) == sorted(range(10))
+
+
+def test_maybe_initialize_distributed_noop_without_envs(monkeypatch):
+    from closerlook3d_tpu.parallel import mesh
+
+    for e in mesh._CLUSTER_ENVS:
+        monkeypatch.delenv(e, raising=False)
+    assert mesh.maybe_initialize_distributed() is False
+
+
+def test_maybe_initialize_distributed_calls_jax(monkeypatch):
+    from closerlook3d_tpu.parallel import mesh
+
+    calls = []
+    monkeypatch.setattr(mesh.jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    assert mesh.maybe_initialize_distributed() is True
+    assert calls == [1]
