@@ -267,9 +267,13 @@ class LocalAggregation(nn.Module):
         if "fi" in p.feature_type:
             parts.append(f)
         if "df" in p.feature_type:
-            # f_i = the query's own feature; neighbor slot 0 is the nearest
-            # neighbor (self for same-resolution blocks). Reference uses the
-            # center feature; nearest-neighbor is the masked-set equivalent.
+            # f_i = center feature. The ordered ball query sorts by
+            # ascending distance, so slot 0 is EXACTLY the query's own
+            # feature in same-resolution blocks (self at d=0) and the
+            # in-radius 1-NN in strided blocks — the reference's
+            # MaskedNearestQuery (N3) nearest-carrier convention at
+            # stage transitions. Pinned by
+            # tests/test_ops_neighbors.py::test_ball_query_slot0_*.
             parts.append(f - f[:, :, :1, :])
         h = jnp.concatenate(parts, axis=-1)
         for i in range(p.num_mlps):

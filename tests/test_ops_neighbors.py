@@ -114,3 +114,41 @@ def test_knn_basic(rng):
     ref[~np.broadcast_to(smask[:, None, :], ref.shape)] = np.inf
     ridx = np.argsort(ref, axis=2, kind="stable")[..., :3]
     np.testing.assert_array_equal(np.asarray(idx), ridx)
+
+
+def test_ball_query_slot0_is_self_at_same_resolution(rng):
+    """Same-resolution blocks: the query IS a support point, d=0 sorts
+    first -> slot 0 is the query itself. PointWiseMLP's df term
+    (models/aggregation.py) relies on this to recover the reference's
+    exact f_j - f_i center-feature semantics."""
+    pts, mask = make_cloud(rng, n=48)
+    idx, nmask = ball_query(jnp.array(pts), jnp.array(pts), 0.4, 8,
+                            query_mask=jnp.array(mask),
+                            support_mask=jnp.array(mask))
+    idx, nmask = np.asarray(idx), np.asarray(nmask)
+    valid = mask & nmask[..., 0]
+    want = np.broadcast_to(np.arange(48)[None], (2, 48))
+    np.testing.assert_array_equal(idx[..., 0][valid], want[valid])
+
+
+def test_ball_query_slot0_is_1nn_when_strided(rng):
+    """Strided blocks (queries not in the support set): slot 0 is the
+    in-radius 1-NN, i.e. knn(k=1) wherever any neighbor is in radius —
+    the same nearest-carrier convention the reference's
+    MaskedNearestQuery (N3) uses at stage transitions."""
+    q, qmask = make_cloud(rng, b=2, n=16, frac_valid=1.0)
+    s, smask = make_cloud(rng, b=2, n=64)
+    radius = 0.7
+    idx, nmask = ball_query(jnp.array(q), jnp.array(s), radius, 8,
+                            query_mask=jnp.array(qmask),
+                            support_mask=jnp.array(smask))
+    nn_idx, nn_d2 = knn(jnp.array(q), jnp.array(s), 1,
+                        support_mask=jnp.array(smask))
+    idx, nmask = np.asarray(idx), np.asarray(nmask)
+    nn_idx, nn_d2 = np.asarray(nn_idx), np.asarray(nn_d2)
+    has_in_radius = nn_d2[..., 0] <= radius * radius
+    assert has_in_radius.any()
+    np.testing.assert_array_equal(idx[..., 0][has_in_radius],
+                                  nn_idx[..., 0][has_in_radius])
+    # and ball-query marks exactly those queries as having neighbors
+    np.testing.assert_array_equal(nmask[..., 0], has_in_radius & qmask)
