@@ -66,11 +66,16 @@ class KDTree:
 
     def query(self, queries: np.ndarray, k: int = 1
               ) -> Tuple[np.ndarray, np.ndarray]:
-        """(dists [M,k] f32, idx [M,k] i32) — scipy cKDTree argument order."""
+        """(dists, idx) with scipy cKDTree's EXACT return convention:
+        shape [M] when k == 1 (squeezed), [M, k] otherwise — callers
+        index with the result, so the k=1 squeeze is load-bearing
+        (a [M,1] index array silently broadcasts np.add.at indices)."""
         q = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
         ib, db = _ext.kdtree_knn(self._tree, q, int(k))
         idx = np.frombuffer(ib, dtype=np.int32).reshape(len(q), k).copy()
         d2 = np.frombuffer(db, dtype=np.float32).reshape(len(q), k).copy()
+        if k == 1:
+            return np.sqrt(d2[:, 0]), idx[:, 0]
         return np.sqrt(d2), idx
 
     def query_ball_point(self, center: np.ndarray, r: float) -> np.ndarray:

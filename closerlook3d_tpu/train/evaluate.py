@@ -128,8 +128,19 @@ def evaluate_partseg(cfg, dataset, state, eval_logits_fn, batch_iter):
                 np.add.at(cc, (l - s, p - s), 1)
         confs.append(cc)
     pn_miou = partnet_miou(confs)
+    per_cat = []
+    for cc in confs:
+        if cc.sum() == 0:
+            per_cat.append(None)  # category absent from this split
+        else:
+            _, m, _ = iou_from_confusion(cc)
+            per_cat.append(round(float(m), 4))
     return {"ins_miou": ins_miou, "cls_miou": cls_miou,
-            "category_miou": pn_miou}
+            "category_miou": pn_miou,
+            # PartNet protocol: per-(category, level) part mIoU — the
+            # level is fixed by cfg.partnet_level (one model per level,
+            # as the reference trains them)
+            "per_category_miou": per_cat}
 
 
 def _softmax(x):

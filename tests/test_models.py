@@ -143,3 +143,31 @@ def test_part_segmentation_forward():
     cat = jnp.array([0, 1])
     l = loss_fn(logits, labels, cat, mask)
     assert bool(jnp.isfinite(l))
+
+
+def test_kernel_point_layout_geometry():
+    """Pin the KPConv-style rigid disposition (VERDICT r1 item 9): a
+    deterministic repulsion-optimized layout — the same construction
+    KPConv uses to generate its published dispositions — with the
+    center point fixed at the origin, remaining points well-separated
+    on a near-unit shell, and max norm exactly 1."""
+    import numpy as np
+    from closerlook3d_tpu.models.aggregation import (
+        _typical_spacing, kernel_point_layout)
+
+    kp = kernel_point_layout(15, "center")
+    assert kp.shape == (15, 3) and kp.dtype == np.float32
+    # determinism / caching
+    np.testing.assert_array_equal(kp, kernel_point_layout(15, "center"))
+    # one point fixed at the center
+    np.testing.assert_array_equal(kp[0], 0.0)
+    norms = np.linalg.norm(kp[1:], axis=1)
+    assert np.isclose(norms.max(), 1.0, atol=1e-5)  # normalized
+    # repulsion equilibrium: shell-like (all non-center points near the
+    # surface) and well-separated
+    assert norms.min() > 0.85
+    d = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() > 0.5  # no collapsed pair
+    # influence scale derives from the mean nearest-neighbor spacing
+    assert 0.5 < _typical_spacing(kp) < 1.2

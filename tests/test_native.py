@@ -64,3 +64,26 @@ def test_kdtree_radius_matches_bruteforce(rng):
         got = set(tree.query_ball_point(c, r).tolist())
         ref = set(np.flatnonzero(((pts - c) ** 2).sum(-1) <= r * r).tolist())
         assert got == ref
+
+
+def test_native_kdtree_matches_scipy_return_convention():
+    """k=1 must return squeezed [M] arrays exactly like scipy.cKDTree
+    (callers index with the result; a [M,1] index array would silently
+    broadcast np.add.at confusion indices — caught by the S3DIS
+    voting-eval oracle test)."""
+    import numpy as np
+    import pytest
+    from scipy.spatial import cKDTree
+    from closerlook3d_tpu.native import HAVE_NATIVE, KDTree
+
+    if not HAVE_NATIVE:
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, size=(50, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, size=(9, 3)).astype(np.float32)
+    for k in (1, 3):
+        dn, idxn = KDTree(pts).query(q, k=k)
+        ds, idxs = cKDTree(pts).query(q, k=k)
+        assert idxn.shape == idxs.shape and dn.shape == ds.shape
+        np.testing.assert_array_equal(idxn, idxs)
+        np.testing.assert_allclose(dn, ds, rtol=1e-5, atol=1e-6)
