@@ -45,6 +45,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -333,43 +334,105 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
 
 
 # --------------------------------------------------------------------------
-# sin_cos mode: per-slot one-hot gathers (fori)
+# sin_cos mode: factorized by the angle-difference identity
+#
+#   w_c(s, t) = sin/cos(u_s(c) - v_t(c)),  u = α p_s,d / (r·freq),
+#                                          v = α q_t,d / (r·freq)
+#   sin(u-v) = sinU cosV - cosU sinV;  cos(u-v) = cosU cosV + sinU sinV
+#
+# so the slot sum collapses into the masked multi-hot exactly as in xyz
+# mode: per chunk, TWO [C,cs]x[cs,T] MXU matmuls of trig-modulated
+# features replace the k-slot gather+sincos loop. Angles are recentred
+# on the chunk's first support point to keep |U|,|V| small for queries
+# that matter (M[s,t]=0 kills the rest), bounding f32 trig
+# argument-reduction error (identity reassociation costs ~1e-4 absolute
+# vs the direct small-angle form — invisible under bf16 training).
 # --------------------------------------------------------------------------
 
 
+def _sincos_coef(channels: int) -> "np.ndarray":
+    """[4, C] host constants for the factorized kernels.
+
+    Rows 0-2: α/freq on the channel's coordinate (zero elsewhere) —
+    matmul with radius-normalized positions yields the angle matrix.
+    Row 3: sin-channel selector (1=sin block, 0=cos block), canonical
+    coordinate-major [sin(freqs), cos(freqs)] layout per coordinate
+    (matches models.aggregation.sinusoidal_embedding).
+    """
+    ndim = channels // 6
+    freq = 1000.0 ** (np.arange(ndim) / ndim)
+    coef = np.zeros((4, channels), np.float32)
+    for d in range(3):
+        base = d * 2 * ndim
+        coef[d, base:base + ndim] = 100.0 / freq
+        coef[d, base + ndim:base + 2 * ndim] = 100.0 / freq
+        coef[3, base:base + ndim] = 1.0
+    return coef
+
+
+def _sc_chunk_trig(sxyz_ref, qT, coef_ref, start, cs: int, inv_r: float):
+    """Per-chunk recentred angle trig: (sinU, cosU [cs,C], sinV, cosV
+    [C,T]) for the chunk's supports and this tile's queries.
+
+    The chunk origin o (first support point) recentres both angle sets.
+    Mosaic cannot relayout o into a [3,1] column for the V matmul
+    (dynamic-offset sublane concat is rejected), so the origin term is
+    folded into an AUGMENTED matmul instead: V = [A; -oAr] @ [q·r⁻¹; 1]
+    with only static concats.
+    """
+    sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+    o = sxyz_ref[0, pl.ds(start, 1), :]    # [1, 3] chunk origin
+    A = coef_ref[0, 0:3, :]                # [3, C]
+    u = jax.lax.dot_general(
+        (sx - o) * inv_r, A, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI)  # [cs, C]
+    vo = jax.lax.dot_general(
+        o * inv_r, A, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI)  # [1, C]
+    a4 = jnp.concatenate([A, -vo], axis=0)  # [4, C] static concat
+    q4 = jnp.concatenate(
+        [qT * inv_r, jnp.ones((1, qT.shape[1]), jnp.float32)],
+        axis=0)  # [4, T]
+    v = jax.lax.dot_general(
+        a4, q4, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI)  # [C, T]
+    return jnp.sin(u), jnp.cos(u), jnp.sin(v), jnp.cos(v)
+
+
 def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
-                   flags_ref, out_ref, acc_ref, cnt_ref, *, k: int,
-                   ns: int, channels: int, radius: float, reduction: str):
+                   coef_ref, flags_ref, out_ref, acc_ref, cnt_ref, *,
+                   k: int, ns: int, channels: int, radius: float,
+                   reduction: str):
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     trow = pl.program_id(1) % 8
     qT = qxyzT_ref[0]  # [3, T]
     inv_r = 1.0 / radius
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
-    cnt_ref[...] = jnp.zeros(cnt_ref.shape, cnt_ref.dtype)
+    # valid-neighbor count == mask row-sum (chunk-independent)
+    cnt_ref[...] = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
+                           keepdims=True)
+    s_sel = coef_ref[0, 3:4, :]  # [1, C] 1=sin-channel
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
-            sxch = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
-            fch = feats_ref[0, pl.ds(start, cs), :]
-            fprec = (_HI if fch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-
-            def body(kk, _):
-                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
-                                         start)
-                pjT = _gather_T(oh, sxch, _HI)  # [3, T]
-                gfT = _gather_T(oh.astype(fch.dtype), fch, fprec)  # [C,T]
-                dpT = (pjT - qT) * inv_r
-                w = _sincos_T(dpT, channels)  # [C, T]
-                inkf = ink.astype(jnp.float32)  # [1, T]
-                acc_ref[...] = acc_ref[...] + gfT * w * inkf
-                cnt_ref[...] = cnt_ref[...] + inkf
-                return 0
-
-            jax.lax.fori_loop(0, k, body, 0)
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+            sinU, cosU, sinV, cosV = _sc_chunk_trig(
+                sxyz_ref, qT, coef_ref, start, cs, inv_r)
+            # y_sin = cosV·Σ f sinU − sinV·Σ f cosU
+            # y_cos = cosV·Σ f cosU + sinV·Σ f sinU
+            g1 = fch * (s_sel * sinU + (1.0 - s_sel) * cosU)
+            g2 = fch * ((1.0 - s_sel) * sinU - s_sel * cosU)
+            mg1 = jax.lax.dot_general(
+                g1, m, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            mg2 = jax.lax.dot_general(
+                g2, m, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            acc_ref[...] = acc_ref[...] + cosV * mg1 + sinV * mg2
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -379,9 +442,9 @@ def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
-                   flags_ref, dfeats_ref, cnt_ref, *, k: int, ns: int,
-                   channels: int, radius: float, reduction: str):
+def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
+                   dyT_ref, flags_ref, dfeats_ref, cnt_ref, *, k: int,
+                   ns: int, channels: int, radius: float, reduction: str):
     del cnt_ref  # the masked count is chunk-independent (mask rows only)
     tile = pl.program_id(1)
     t = qxyzT_ref.shape[2]
@@ -389,13 +452,12 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
     trow = tile % 8
     qT = qxyzT_ref[0]
     inv_r = 1.0 / radius
+    s_sel = coef_ref[0, 3:4, :]
 
     dy = dyT_ref[0].astype(jnp.float32)  # [C, T]
     if reduction == "avg":
-        def cbody(kk, cnt):
-            return cnt + (_row(maskT_ref, kk) != 0).astype(jnp.float32)
-        cnt = jax.lax.fori_loop(0, k, cbody,
-                                jnp.zeros((1, t), jnp.float32))
+        cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
+                      keepdims=True)
         dy = dy / jnp.maximum(cnt, 1.0)
 
     @pl.when(tile == 0)
@@ -406,21 +468,17 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
-            sxch = sxyz_ref[0, pl.ds(start, cs), :]
-
-            def body(kk, df):
-                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs, t,
-                                         start)
-                pjT = _gather_T(oh, sxch, _HI)
-                dpT = (pjT - qT) * inv_r
-                w = _sincos_T(dpT, channels)
-                dgf = w * ink.astype(jnp.float32) * dy  # [C, T]
-                return df + jax.lax.dot_general(
-                    oh, dgf, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI)
-
-            df = jax.lax.fori_loop(
-                0, k, body, jnp.zeros((cs, channels), jnp.float32))
+            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
+            sinU, cosU, sinV, cosV = _sc_chunk_trig(
+                sxyz_ref, qT, coef_ref, start, cs, inv_r)
+            p = jax.lax.dot_general(
+                m, cosV * dy, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            q = jax.lax.dot_general(
+                m, sinV * dy, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+            df = ((s_sel * sinU + (1.0 - s_sel) * cosU) * p
+                  + ((1.0 - s_sel) * sinU - s_sel * cosU) * q)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
@@ -511,6 +569,10 @@ def _pospool_call(query_xyz, support_xyz, features, idx, mask,
     in_specs = [qspec, sspec, fspec, ispec, ispec, _flags_spec(ns // cs)]
     operands = [qT, support_xyz.astype(jnp.float32), features, iT, mT,
                 _chunk_flags(idx, mask, tile, cs, ns // cs)]
+    if mode == "sin_cos":
+        in_specs.insert(5, pl.BlockSpec((1, 4, c), lambda bi, ti: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(5, jnp.asarray(_sincos_coef(c))[None])
     scratch = [pltpu.VMEM((c, tile), jnp.float32),
                pltpu.VMEM((1, tile), jnp.float32)]
     outT = pl.pallas_call(
@@ -557,6 +619,10 @@ def _pospool_bwd(radius, mode, reduction, res, dy):
     in_specs = [qspec, sspec, ispec, ispec, oTspec, _flags_spec(ns // cs)]
     operands = [qT, support_xyz.astype(jnp.float32), iT, mT, dyT,
                 _chunk_flags(idx, mask, tile, cs, ns // cs)]
+    if mode == "sin_cos":
+        in_specs.insert(4, pl.BlockSpec((1, 4, c), lambda bi, ti: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(4, jnp.asarray(_sincos_coef(c))[None])
     scratch = [pltpu.VMEM((1, tile), jnp.float32)]
     dfeats = pl.pallas_call(
         kern,

@@ -49,3 +49,20 @@ def test_trainer_writes_scalars(tmp_path):
              open(tmp_path / "scalars.jsonl").read().splitlines()]
     tags = {ln["tag"] for ln in lines}
     assert "train/loss" in tags and "val/acc" in tags
+
+
+def test_bench_cell_cfg_matrix_ops():
+    """bench.py's operator matrix must map to valid configs (the sincos
+    variant rides the pospool family with a position_embedding flip)."""
+    import bench
+
+    for name, _ in bench.MATRIX_OPS:
+        cfg = bench._cell_cfg("cls", name)
+        if name == "pospool_sincos":
+            assert cfg.local_aggregation_type == "pospool"
+            assert cfg.pospool.position_embedding == "sin_cos"
+        else:
+            assert cfg.local_aggregation_type == name
+    seg = bench._cell_cfg("seg", "pospool")
+    assert seg.task == "scene_segmentation" and seg.sampling == "grid"
+    assert seg.npoints[0] == seg.num_points
