@@ -144,3 +144,45 @@ def test_lr_schedules():
     cfg.warmup_epoch = 2
     fn = make_lr_schedule(cfg, steps_per_epoch=10)
     assert float(fn(0)) < float(fn(19))  # warming up
+
+
+def test_kill_resume_fault_injection(tmp_path):
+    """Failure-recovery analogue (SURVEY.md §5): a run that dies mid-job
+    must resume from the latest checkpoint on restart, not from scratch.
+
+    Run A trains 2 of 4 epochs (checkpointing each) and is then
+    abandoned without finishing — the process-state-discarded
+    equivalent of a kill. Run B constructs a fresh Trainer on the same
+    workdir: auto-resume must restore the exact optimizer step and
+    continue at epoch 3, and finishing must leave the final-epoch
+    checkpoint behind.
+    """
+    from closerlook3d_tpu.train.loop import Trainer
+
+    def cfg_for():
+        cfg = tiny_cfg()
+        cfg.epochs = 4
+        cfg.save_interval = 1
+        cfg.val_interval = 10**9  # skip validation (slow CPU compiles)
+        cfg.log_interval = 10**9
+        cfg.use_pallas = "never"
+        return cfg
+
+    wd = str(tmp_path / "run")
+    a = Trainer(cfg_for(), wd)
+    assert a.start_epoch == 1  # fresh dir: nothing to resume
+    for epoch in (1, 2):
+        a.train_one_epoch(epoch)
+        a.ckpt.save(int(a.state.step), a.state, extra={"epoch": epoch})
+    a.ckpt.wait()
+    step_at_kill = int(a.state.step)
+    del a  # the "kill": in-flight training state is discarded
+
+    b = Trainer(cfg_for(), wd)
+    assert b.start_epoch == 3  # resumed past the completed epochs
+    assert int(b.state.step) == step_at_kill
+    b.fit()  # completes epochs 3..4 only
+    assert int(b.state.step) > step_at_kill
+
+    c = Trainer(cfg_for(), wd)  # post-completion restart
+    assert c.start_epoch == 5
