@@ -32,9 +32,9 @@ OPS = ["pospool", "pospool_sincos", "pointwisemlp", "pseudo_grid",
 
 TASKS = {
     # task key -> (datasets, epochs, num_points, batch, key metric)
-    "cls": ("synthetic", 25, 512, 16, "acc"),
-    "partseg": ("synthetic_partseg", 20, 512, 16, "miou"),
-    "scene": ("synthetic_scene", 20, 1024, 8, "miou"),
+    "cls": ("synthetic", 18, 512, 16, "acc"),
+    "partseg": ("synthetic_partseg", 15, 512, 16, "miou"),
+    "scene": ("synthetic_scene", 15, 1024, 8, "miou"),
 }
 
 
@@ -95,13 +95,41 @@ def main(argv=None):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    partial_path = os.path.join(here, "PARITY_RUNS.json")
     results = {}
+    # resume: completed cells from a previous (interrupted) invocation
+    # with the same protocol are reused
+    if os.path.exists(partial_path):
+        try:
+            with open(partial_path) as f:
+                prev = json.load(f)
+            if prev.get("protocol", {}) == {t: dict(zip(
+                    ("datasets", "epochs", "num_points", "batch",
+                     "metric"), TASKS[t])) for t in prev.get(
+                        "protocol", {})}:
+                results.update(prev.get("results", {}))
+        except (ValueError, KeyError):
+            pass
+
+    def _write_partial():
+        with open(partial_path, "w") as f:
+            json.dump({"results": results, "partial": True,
+                       "protocol": {t: dict(zip(
+                           ("datasets", "epochs", "num_points", "batch",
+                            "metric"), TASKS[t])) for t in args.tasks}},
+                      f, indent=1)
+
     for task in args.tasks:
         for op in args.ops:
-            print(f"=== {task}/{op}", flush=True)
-            results[f"{task}/{op}"] = run_cell(task, op)
-            print(f"=== {task}/{op}: {results[f'{task}/{op}']}",
-                  flush=True)
+            cell = f"{task}/{op}"
+            if cell in results:
+                print(f"=== {cell}: cached {results[cell]}", flush=True)
+                continue
+            print(f"=== {cell}", flush=True)
+            results[cell] = run_cell(task, op)
+            _write_partial()
+            print(f"=== {cell}: {results[cell]}", flush=True)
 
     rerun_delta = None
     if args.repeat_check and "cls/pospool" in results:
@@ -132,8 +160,7 @@ def main(argv=None):
             ("datasets", "epochs", "num_points", "batch", "metric"),
             TASKS[t])) for t in args.tasks},
     }
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "PARITY_RUNS.json"), "w") as f:
+    with open(partial_path, "w") as f:
         json.dump(out, f, indent=1)
 
     lines = [
