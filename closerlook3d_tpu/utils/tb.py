@@ -36,7 +36,9 @@ class ScalarWriter:
             self._tb = None
 
     def scalar(self, tag: str, value: float, step: int) -> None:
-        if self._jsonl is not None:
+        # tolerate post-close writes (e.g. an extra validate() after
+        # fit() closed the writer): metrics still return, just unlogged
+        if self._jsonl is not None and not self._jsonl.closed:
             self._jsonl.write(json.dumps(
                 {"tag": tag, "value": float(value), "step": int(step),
                  "ts": time.time()}) + "\n")
