@@ -23,7 +23,7 @@ from closerlook3d_tpu.train.evaluate import (
     evaluate_partseg,
     evaluate_s3dis_voting,
 )
-from closerlook3d_tpu.train.loop import Trainer, device_batch
+from closerlook3d_tpu.train.loop import device_batch
 from closerlook3d_tpu.train.schedules import make_optimizer
 from closerlook3d_tpu.train.state import create_train_state
 from closerlook3d_tpu.train.step import make_eval_step

@@ -11,7 +11,6 @@ offset to GLOBAL part ids by category order discovered at init.
 from __future__ import annotations
 
 import glob
-import json
 import os
 from typing import List, Tuple
 

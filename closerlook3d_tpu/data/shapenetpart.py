@@ -9,7 +9,6 @@ category from the synset directory, official json split files.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 

@@ -28,8 +28,7 @@ import jax.numpy as jnp
 
 from closerlook3d_tpu.models.aggregation import LocalAggregation
 from closerlook3d_tpu.models.nn_utils import ConvBN, compute_dtype
-from closerlook3d_tpu.ops.grouping import (group_features, masked_max,
-                                            neighborhood_max)
+from closerlook3d_tpu.ops.grouping import neighborhood_max
 from closerlook3d_tpu.ops.neighbors import ball_query
 from closerlook3d_tpu.ops.sampling import furthest_point_sample, grid_subsample
 from closerlook3d_tpu.utils.config import stage_plan

@@ -17,7 +17,6 @@ from typing import List
 
 import jax
 import numpy as np
-from scipy.spatial import cKDTree
 
 from closerlook3d_tpu.data.loader import build_features
 from closerlook3d_tpu.train.metrics import (

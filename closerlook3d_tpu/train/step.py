@@ -9,7 +9,6 @@ gradient all-reduce over ICI (the reference's NCCL DDP, minus the code).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

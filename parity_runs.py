@@ -25,7 +25,6 @@ import sys
 import tempfile
 import time
 
-import numpy as np
 
 OPS = ["pospool", "pospool_sincos", "pointwisemlp", "pseudo_grid",
        "adaptive_weight"]
