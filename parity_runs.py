@@ -32,7 +32,7 @@ OPS = ["pospool", "pospool_sincos", "pointwisemlp", "pseudo_grid",
 TASKS = {
     # task key -> (datasets, epochs, num_points, batch, key metric)
     "cls": ("synthetic", 18, 512, 16, "acc"),
-    "partseg": ("synthetic_partseg", 15, 512, 16, "miou"),
+    "partseg": ("synthetic_partseg", 45, 512, 16, "miou"),
     "scene": ("synthetic_scene", 15, 1024, 8, "miou"),
 }
 
@@ -99,15 +99,20 @@ def main(argv=None):
     results = {}
     # resume: completed cells from a previous (interrupted) invocation
     # with the same protocol are reused
+    prev_rerun_delta = None
     if os.path.exists(partial_path):
         try:
             with open(partial_path) as f:
                 prev = json.load(f)
-            if prev.get("protocol", {}) == {t: dict(zip(
-                    ("datasets", "epochs", "num_points", "batch",
-                     "metric"), TASKS[t])) for t in prev.get(
-                        "protocol", {})}:
-                results.update(prev.get("results", {}))
+            prev_rerun_delta = prev.get("rerun_delta_cls_pospool")
+            # reuse per TASK: only cells whose task protocol is unchanged
+            for t, proto in prev.get("protocol", {}).items():
+                if t in TASKS and proto == dict(zip(
+                        ("datasets", "epochs", "num_points", "batch",
+                         "metric"), TASKS[t])):
+                    results.update(
+                        {k: v for k, v in prev.get("results", {}).items()
+                         if k.startswith(t + "/")})
         except (ValueError, KeyError):
             pass
 
@@ -130,7 +135,7 @@ def main(argv=None):
             _write_partial()
             print(f"=== {cell}: {results[cell]}", flush=True)
 
-    rerun_delta = None
+    rerun_delta = prev_rerun_delta
     if args.repeat_check and "cls/pospool" in results:
         again = run_cell("cls", "pospool")
         key = TASKS["cls"][4]
