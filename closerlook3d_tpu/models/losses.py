@@ -56,6 +56,23 @@ def category_part_table(num_parts: Sequence[int]) -> np.ndarray:
     return np.stack([starts, np.asarray(num_parts)], axis=1).astype(np.int32)
 
 
+def category_slice_mask(shape_category: jax.Array,
+                        num_parts: Sequence[int]) -> jax.Array:
+    """[B, P_total] bool: which union-logit columns belong to each
+    sample's category slice.
+
+    The multi-shape loss softmaxes ONLY over this slice, so logits
+    outside it receive no gradient and drift freely — every prediction
+    consumer (metrics included) must restrict to the slice before
+    argmax or scores degrade spuriously as training progresses.
+    """
+    table = jnp.asarray(category_part_table(num_parts))  # [Ncat, 2]
+    start = table[shape_category, 0][:, None]  # [B, 1]
+    count = table[shape_category, 1][:, None]
+    part_ids = jnp.arange(int(np.sum(num_parts)), dtype=jnp.int32)[None, :]
+    return (part_ids >= start) & (part_ids < start + count)
+
+
 def multi_shape_cross_entropy(logits: jax.Array, point_labels: jax.Array,
                               shape_category: jax.Array, mask: jax.Array,
                               num_parts: Sequence[int],
@@ -71,10 +88,8 @@ def multi_shape_cross_entropy(logits: jax.Array, point_labels: jax.Array,
     logits = logits.astype(jnp.float32)
     b, n, ptotal = logits.shape
     table = jnp.asarray(category_part_table(num_parts))  # [Ncat, 2]
-    start = table[shape_category, 0][:, None]  # [B, 1]
     count = table[shape_category, 1][:, None]  # [B, 1]
-    part_ids = jnp.arange(ptotal, dtype=jnp.int32)[None, :]  # [1, P]
-    in_slice = (part_ids >= start) & (part_ids < start + count)  # [B, P]
+    in_slice = category_slice_mask(shape_category, num_parts)  # [B, P]
     masked_logits = jnp.where(in_slice[:, None, :], logits, _NEG)
     logp = jax.nn.log_softmax(masked_logits, axis=-1)
     onehot = jax.nn.one_hot(point_labels, ptotal, dtype=jnp.float32)

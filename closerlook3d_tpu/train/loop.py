@@ -86,11 +86,14 @@ class Trainer:
             cfg.task, cfg.local_aggregation_type,
             param_count(self.state) / 1e6)
 
+        num_parts = (tuple(cfg.num_parts)
+                     if cfg.task == "part_segmentation" else None)
         self.train_step = make_train_step(
             self.model, self.loss_fn, cfg.task, self.mesh,
-            donate=cfg.donate_state)
+            donate=cfg.donate_state, num_parts=num_parts)
         self.eval_step = make_eval_step(
-            self.model, self.loss_fn, cfg.task, self.mesh)
+            self.model, self.loss_fn, cfg.task, self.mesh,
+            num_parts=num_parts)
 
         self.ckpt = CheckpointManager(f"{workdir}/ckpt",
                                       keep=cfg.keep_checkpoints)
@@ -167,7 +170,20 @@ class Trainer:
                     float((pred[keep] == batch["label"][keep]).mean()),
                     int(keep.sum()))
             else:
-                pred = np.asarray(jax.device_get(logits)).argmax(-1)
+                lg = np.asarray(jax.device_get(logits))
+                if cfg.task == "part_segmentation":
+                    # restrict to the category slice: out-of-slice
+                    # columns carry no training signal (see
+                    # losses.category_slice_mask)
+                    from closerlook3d_tpu.models.losses import \
+                        category_part_table
+                    table = category_part_table(cfg.num_parts)
+                    pid = np.arange(lg.shape[-1])
+                    start = table[batch["category"], 0][:, None]
+                    cnt = table[batch["category"], 1][:, None]
+                    sl = (pid[None] >= start) & (pid[None] < start + cnt)
+                    lg = np.where(sl[:, None, :], lg, -np.inf)
+                pred = lg.argmax(-1)
                 m = batch["mask"] & keep[:, None]
                 nclass = logits.shape[-1]
                 c = np.asarray(confusion_matrix(

@@ -35,18 +35,26 @@ def apply_task_loss(task: str, loss_fn: Callable, logits, batch):
     raise ValueError(task)
 
 
-def task_metrics(task: str, logits, batch):
+def task_metrics(task: str, logits, batch, num_parts=None):
     if task == "classification":
         pred = jnp.argmax(logits, axis=-1)
         acc = jnp.mean((pred == batch["label"]).astype(jnp.float32))
         return {"acc": acc}
+    if task == "part_segmentation" and num_parts:
+        # union-logit columns outside the sample's category slice get no
+        # gradient from the multi-shape loss — mask them before argmax
+        # (see losses.category_slice_mask)
+        from closerlook3d_tpu.models.losses import category_slice_mask
+        sl = category_slice_mask(batch["category"], tuple(num_parts))
+        logits = jnp.where(sl[:, None, :], logits, -jnp.inf)
     pred = jnp.argmax(logits, axis=-1)
     m = batch["mask"].astype(jnp.float32)
     correct = (pred == batch["labels"]).astype(jnp.float32) * m
     return {"acc": jnp.sum(correct) / jnp.maximum(jnp.sum(m), 1.0)}
 
 
-def make_train_step(model, loss_fn, task: str, mesh=None, donate=True):
+def make_train_step(model, loss_fn, task: str, mesh=None, donate=True,
+                    num_parts=None):
     def train_step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
@@ -63,7 +71,8 @@ def make_train_step(model, loss_fn, task: str, mesh=None, donate=True):
         (loss, (logits, mutated)), grads = grad_fn(state.params)
         state = state.apply_gradients(
             grads=grads, batch_stats=mutated["batch_stats"])
-        metrics = {"loss": loss, **task_metrics(task, logits, batch)}
+        metrics = {"loss": loss,
+                   **task_metrics(task, logits, batch, num_parts)}
         return state, metrics
 
     if mesh is None:
@@ -78,14 +87,15 @@ def make_train_step(model, loss_fn, task: str, mesh=None, donate=True):
     )
 
 
-def make_eval_step(model, loss_fn, task: str, mesh=None):
+def make_eval_step(model, loss_fn, task: str, mesh=None, num_parts=None):
     def eval_step(state: TrainState, batch):
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["xyz"], batch["mask"], batch["features"], train=False,
             geometry=batch_geometry(batch))
         loss = apply_task_loss(task, loss_fn, logits, batch)
-        return logits, {"loss": loss, **task_metrics(task, logits, batch)}
+        return logits, {"loss": loss,
+                        **task_metrics(task, logits, batch, num_parts)}
 
     if mesh is None:
         return jax.jit(eval_step)

@@ -32,7 +32,7 @@ OPS = ["pospool", "pospool_sincos", "pointwisemlp", "pseudo_grid",
 TASKS = {
     # task key -> (datasets, epochs, num_points, batch, key metric)
     "cls": ("synthetic", 18, 512, 16, "acc"),
-    "partseg": ("synthetic_partseg", 45, 512, 16, "miou"),
+    "partseg": ("synthetic_partseg", 24, 512, 16, "miou"),
     "scene": ("synthetic_scene", 15, 1024, 8, "miou"),
 }
 

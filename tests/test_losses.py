@@ -68,3 +68,32 @@ def test_multi_shape_ce_is_per_category_softmax(rng):
         for n in range(5):
             ces.append(-lp[n, labels[b, n] - s])
     np.testing.assert_allclose(got, np.mean(ces), rtol=1e-4)
+
+
+def test_task_metrics_partseg_slice_restricted():
+    """Out-of-slice logit columns get no gradient from the multi-shape
+    loss, so metrics must ignore them: huge garbage values outside the
+    sample's category slice must not change the accuracy."""
+    import jax.numpy as jnp
+    import numpy as np
+    from closerlook3d_tpu.train.step import task_metrics
+
+    num_parts = (2, 3)
+    b, n = 2, 8
+    labels = np.array([[0, 1] * 4, [2 + 0, 2 + 2] * 4], np.int32)
+    cats = np.array([0, 1], np.int32)
+    logits = np.full((b, n, 5), -5.0, np.float32)
+    for bi in range(b):
+        for ni in range(n):
+            logits[bi, ni, labels[bi, ni]] = 5.0
+    # poison the OTHER category's columns with dominant values
+    logits[0, :, 2:] = 100.0
+    logits[1, :, :2] = 100.0
+    batch = {"labels": jnp.asarray(labels), "mask": jnp.ones((b, n), bool),
+             "category": jnp.asarray(cats)}
+    with_fix = task_metrics("part_segmentation", jnp.asarray(logits),
+                            batch, num_parts)
+    assert float(with_fix["acc"]) == 1.0
+    # without num_parts the poison wins — documents why the fix matters
+    without = task_metrics("part_segmentation", jnp.asarray(logits), batch)
+    assert float(without["acc"]) == 0.0
