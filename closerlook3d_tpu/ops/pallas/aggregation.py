@@ -270,15 +270,20 @@ def _xyz_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
             sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
-            fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+            fch = feats_ref[0, pl.ds(start, cs), :]
+            # bf16 features ride single-pass bf16 MXU matmuls (the
+            # multi-hot-weighted delta quantizes like any other bf16
+            # operand); f32 features keep full precision.
+            fprec = (_HI if fch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
             parts = []
             for d in range(3):
                 delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r  # [cs,T]
-                w = m * delta
+                w = (m * delta).astype(fch.dtype)
                 parts.append(jax.lax.dot_general(
                     fch[:, d * g:(d + 1) * g], w,
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI))
+                    preferred_element_type=jnp.float32, precision=fprec))
             acc_ref[...] = acc_ref[...] + jnp.concatenate(parts, axis=0)
         return 0
 
@@ -304,12 +309,15 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    dy0 = dyT_ref[0].astype(jnp.float32)  # [C, T]
+    dy0 = dyT_ref[0]  # [C, T]
+    dprec = (_HI if dy0.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
     if reduction == "avg":
         # valid-neighbor count == mask row-sum (chunk-independent)
         cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
                       keepdims=True)
-        dy0 = dy0 / jnp.maximum(cnt, 1.0)
+        dy0 = (dy0.astype(jnp.float32)
+               / jnp.maximum(cnt, 1.0)).astype(dy0.dtype)
         del cnt_ref
 
     def chunk_body(ci, _):
@@ -321,11 +329,11 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
             grads = []
             for d in range(3):
                 delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
-                w = m * delta  # [cs, T]
+                w = (m * delta).astype(dy0.dtype)  # [cs, T]
                 grads.append(jax.lax.dot_general(
                     w, dy0[d * g:(d + 1) * g, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI))
+                    preferred_element_type=jnp.float32, precision=dprec))
             df = jnp.concatenate(grads, axis=-1)  # [cs, C]
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
