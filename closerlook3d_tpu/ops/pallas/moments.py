@@ -64,7 +64,12 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
             sx = sxyz_ref[0, pl.ds(start, cs), :]
-            fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+            fch = feats_ref[0, pl.ds(start, cs), :]
+            # bf16 features: single-pass bf16 MXU matmuls (d=0's pure
+            # multi-hot is exact; delta weights quantize like any bf16
+            # operand); f32 features keep full precision.
+            fprec = (_HI if fch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
             outs = []
             for d in range(4):
                 if d == 0:
@@ -73,8 +78,9 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
                     delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
                     w = m * delta
                 outs.append(jax.lax.dot_general(
-                    fch, w, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI))
+                    fch, w.astype(fch.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=fprec))
             acc_ref[...] = acc_ref[...] + jnp.concatenate(outs, axis=0)
         return 0
 
@@ -99,12 +105,15 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    dy0 = dyT_ref[0].astype(jnp.float32)  # [4C, T]
+    dy0 = dyT_ref[0]  # [4C, T]
+    dprec = (_HI if dy0.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
     if reduction == "avg":
         # valid-neighbor count == mask row-sum (chunk-independent)
         cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
                       keepdims=True)
-        dy0 = dy0 / jnp.maximum(cnt, 1.0)
+        dy0 = (dy0.astype(jnp.float32)
+               / jnp.maximum(cnt, 1.0)).astype(dy0.dtype)
         del cnt_ref
 
     def chunk_body(ci, _):
@@ -121,9 +130,10 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
                     delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
                     w = m * delta
                 df = df + jax.lax.dot_general(
-                    w, dy0[d * channels:(d + 1) * channels, :],
+                    w.astype(dy0.dtype),
+                    dy0[d * channels:(d + 1) * channels, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_HI)
+                    preferred_element_type=jnp.float32, precision=dprec)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
