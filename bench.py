@@ -1,16 +1,23 @@
 """Benchmark harness: points/sec/chip for train + infer.
 
-Prints ONE JSON line:
-  {"metric": "points_per_sec_per_chip_train", "value": N,
-   "unit": "points/s", "vs_baseline": R, ...extras}
+Prints ONE JSON line. Headline fields (metric/value/vs_baseline) come
+from the ModelNet40 cls/pospool cell; a ``matrix`` field carries every
+{cls, seg} x {5 operator} cell so the driver catches regressions in the
+non-headline cells too (VERDICT r1 item 5).
 
-The reference publishes no throughput numbers (BASELINE.md): vs_baseline
-is reported against a measured-on-first-run pinned value stored in
-BENCH_PIN.json (self-relative trend), or null before the pin exists.
+vs_baseline is SELF-RELATIVE: the pinned value in BENCH_PIN.json is the
+pure-XLA unfused (use_pallas=never, jnp ops) implementation of the same
+model measured on the same v5e — i.e. the fusion speedup. The reference
+publishes no throughput numbers (BASELINE.md), so there is no external
+baseline to compare against; ``vs_baseline_kind`` says so explicitly.
 
-Config: the ModelNet40 headline setup (PosPool xyz/avg, 5-stage trunk,
-width 144) on synthetic clouds — geometry identical to the dataset's
-shapes in cost. Override via env BENCH_POINTS / BENCH_BATCH / BENCH_OP.
+Env knobs:
+  BENCH_MATRIX=0        -> single cell only (BENCH_TASK x BENCH_OP)
+  BENCH_TASK=cls|seg    BENCH_OP=<operator>   (single-cell mode)
+  BENCH_STEPS=N         timed steps per cell (default 20 headline,
+                        10 matrix cells)
+  BENCH_POINTS/BENCH_BATCH  shape overrides (single-cell mode)
+  BENCH_USE_PALLAS=never    measure the unfused path (pin refresh)
 """
 
 from __future__ import annotations
@@ -22,63 +29,70 @@ import time
 
 import numpy as np
 
+# operator variants benchmarked in the matrix: config name + overrides
+MATRIX_OPS = [
+    ("pospool", {}),
+    ("pospool_sincos", {"local_aggregation_type": "pospool",
+                        "pospool.position_embedding": "sin_cos"}),
+    ("pointwisemlp", {}),
+    ("pseudo_grid", {}),
+    ("adaptive_weight", {}),
+]
 
-def main():
-    import jax
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from closerlook3d_tpu.models import build_model
-    from closerlook3d_tpu.parallel.mesh import make_mesh, shard_batch
-    from closerlook3d_tpu.train.schedules import make_optimizer
-    from closerlook3d_tpu.train.state import create_train_state
-    from closerlook3d_tpu.train.step import make_eval_step, make_train_step
+def _cell_cfg(task: str, op: str, num_points=None, batch=None):
     from closerlook3d_tpu.utils.config import load_config
 
-    task = os.environ.get("BENCH_TASK", "cls")  # cls | seg
-    op = os.environ.get("BENCH_OP", "pospool")
-    steps = int(os.environ.get("BENCH_STEPS", 20))
-
     cfg = load_config()
-    cfg.local_aggregation_type = op
+    overrides = dict(next((ov for name, ov in MATRIX_OPS if name == op),
+                          {}))
+    cfg.local_aggregation_type = overrides.pop(
+        "local_aggregation_type", op if op != "pospool_sincos" else
+        "pospool")
+    for key, val in overrides.items():
+        node = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = getattr(node, part)
+        setattr(node, parts[-1], val)
     cfg.precision = "bf16"
     cfg.use_pallas = os.environ.get("BENCH_USE_PALLAS", "auto")
-    # OS-entropy seed: the execution stack replays recorded results for
-    # content-identical programs (deterministic fixed-seed runs would
-    # re-measure a cache, not the hardware)
-    rng = np.random.default_rng()
     if task == "cls":
         # ModelNet40 headline shape
-        num_points = int(os.environ.get("BENCH_POINTS", 1024))
-        batch = int(os.environ.get("BENCH_BATCH", 32))
         cfg.task = "classification"
-        cfg.num_points = num_points
+        cfg.num_points = int(num_points or 1024)
         cfg.num_classes = 40
         cfg.npoints = []
-        cfg.batch_size = batch
-        xyz = rng.uniform(-1, 1, size=(batch, num_points, 3)).astype(
-            np.float32)
-        host_batch = {
-            "xyz": xyz,
-            "mask": np.ones((batch, num_points), bool),
-            "features": xyz.copy(),
-            "label": rng.integers(0, 40, size=(batch,)).astype(np.int32),
-        }
+        cfg.batch_size = int(batch or 32)
     else:
         # S3DIS headline shape: 15k-point spheres, grid downsampling,
         # U-Net decoder, 13 classes
-        num_points = int(os.environ.get("BENCH_POINTS", 15360))
-        batch = int(os.environ.get("BENCH_BATCH", 4))
         cfg.task = "scene_segmentation"
-        cfg.num_points = num_points
+        cfg.num_points = int(num_points or 15360)
         cfg.num_classes = 13
         cfg.sampling = "grid"
         cfg.radius = 0.1
         cfg.sampleDl = 0.08
-        cfg.npoints = [num_points, 4096, 1152, 304, 88]
-        cfg.batch_size = batch
+        cfg.npoints = [cfg.num_points, 4096, 1152, 304, 88]
+        cfg.batch_size = int(batch or 4)
         cfg.input_features = "ones,rgb,height"
-        xyz = rng.uniform(-2, 2, size=(batch, num_points, 3)).astype(
-            np.float32)
+    return cfg
+
+
+def _make_host_batch(cfg, rng):
+    batch, num_points = cfg.batch_size, cfg.num_points
+    xyz_range = 1.0 if cfg.task == "classification" else 2.0
+    xyz = rng.uniform(-xyz_range, xyz_range,
+                     size=(batch, num_points, 3)).astype(np.float32)
+    if cfg.task == "classification":
+        host_batch = {
+            "xyz": xyz,
+            "mask": np.ones((batch, num_points), bool),
+            "features": xyz.copy(),
+            "label": rng.integers(
+                0, cfg.num_classes, size=(batch,)).astype(np.int32),
+        }
+    else:
         feats = np.concatenate(
             [np.ones((batch, num_points, 1), np.float32),
              rng.uniform(0, 1, size=(batch, num_points, 3)).astype(
@@ -88,14 +102,35 @@ def main():
             "xyz": xyz,
             "mask": np.ones((batch, num_points), bool),
             "features": feats,
-            "labels": rng.integers(0, 13, size=(batch, num_points)).astype(
-                np.int32),
+            "labels": rng.integers(
+                0, cfg.num_classes,
+                size=(batch, num_points)).astype(np.int32),
         }
-
     if cfg.spatial_sort == "host":
         # what the data loader does in production (data/spatial_host.py)
         from closerlook3d_tpu.data.spatial_host import morton_sort_batch
         host_batch = morton_sort_batch(host_batch)
+    return host_batch
+
+
+def run_cell(task: str, op: str, steps: int, measure_infer: bool,
+             num_points=None, batch=None):
+    """Train (and optionally infer) one benchmark cell; returns stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from closerlook3d_tpu.models import build_model
+    from closerlook3d_tpu.parallel.mesh import make_mesh, shard_batch
+    from closerlook3d_tpu.train.schedules import make_optimizer
+    from closerlook3d_tpu.train.state import create_train_state
+    from closerlook3d_tpu.train.step import make_eval_step, make_train_step
+
+    cfg = _cell_cfg(task, op, num_points, batch)
+    # OS-entropy seed: the execution stack replays recorded results for
+    # content-identical programs (deterministic fixed-seed runs would
+    # re-measure a cache, not the hardware)
+    rng = np.random.default_rng()
+    host_batch = _make_host_batch(cfg, rng)
 
     n_chips = len(jax.devices())
     mesh = make_mesh(data_parallel=n_chips, model_parallel=1)
@@ -105,7 +140,6 @@ def main():
     state = create_train_state(cfg, model, optimizer,
                                jax.random.PRNGKey(0), dbatch, mesh)
     train_step = make_train_step(model, loss_fn, cfg.task, mesh)
-    eval_step = make_eval_step(model, loss_fn, cfg.task, mesh)
     key = jax.random.PRNGKey(1)
 
     # warmup / compile. NOTE: on this execution stack
@@ -122,47 +156,113 @@ def main():
     float(m["loss"])
     train_dt = (time.perf_counter() - t0) / steps
 
-    # infer: repeated identical calls would replay — cycle over distinct
-    # perturbed batches
-    import jax.numpy as jnp
-    ebatches = []
-    for i in range(steps):
-        eb = dict(dbatch)
-        eb["xyz"] = dbatch["xyz"] + jnp.float32(
-            rng.uniform(1e-6, 1e-5, size=()))
-        eb["features"] = dbatch["features"]
-        ebatches.append(eb)
-    logits, m = eval_step(state, ebatches[0])
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(steps):
-        logits, m = eval_step(state, ebatches[i % len(ebatches)])
-    float(m["loss"])
-    infer_dt = (time.perf_counter() - t0) / steps
+    pts = cfg.batch_size * cfg.num_points
+    cell = {
+        "train_pps": round(pts / train_dt / n_chips, 1),
+        "train_step_ms": round(train_dt * 1e3, 2),
+        "points": cfg.num_points, "batch": cfg.batch_size,
+    }
 
-    pts = batch * num_points
-    train_pps = pts / train_dt / n_chips
-    infer_pps = pts / infer_dt / n_chips
+    if measure_infer:
+        eval_step = make_eval_step(model, loss_fn, cfg.task, mesh)
+        # infer: repeated identical calls would replay — cycle over
+        # distinct perturbed batches
+        ebatches = []
+        for _ in range(steps):
+            eb = dict(dbatch)
+            eb["xyz"] = dbatch["xyz"] + jnp.float32(
+                rng.uniform(1e-6, 1e-5, size=()))
+            ebatches.append(eb)
+        _, m = eval_step(state, ebatches[0])
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(steps):
+            _, m = eval_step(state, ebatches[i % len(ebatches)])
+        float(m["loss"])
+        infer_dt = (time.perf_counter() - t0) / steps
+        cell["infer_pps"] = round(pts / infer_dt / n_chips, 1)
+        cell["infer_step_ms"] = round(infer_dt * 1e3, 2)
+    return cell
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     pin_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_PIN.json")
-    vs = None
+    pins = {}
     if os.path.exists(pin_file):
         with open(pin_file) as f:
-            pin = json.load(f)
-        if pin.get("train_pps"):
-            vs = train_pps / pin["train_pps"]
+            pins = json.load(f)
+
+    matrix_mode = os.environ.get("BENCH_MATRIX", "1") == "1" and not (
+        os.environ.get("BENCH_TASK") or os.environ.get("BENCH_OP")
+        or os.environ.get("BENCH_POINTS") or os.environ.get("BENCH_BATCH"))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+
+    if not matrix_mode:
+        task = os.environ.get("BENCH_TASK", "cls")
+        op = os.environ.get("BENCH_OP", "pospool")
+        cell = run_cell(task, op, steps, measure_infer=True,
+                        num_points=os.environ.get("BENCH_POINTS"),
+                        batch=os.environ.get("BENCH_BATCH"))
+        # pins are for the headline shapes only — never compare across
+        # a BENCH_POINTS/BENCH_BATCH override
+        shape_overridden = bool(os.environ.get("BENCH_POINTS")
+                                or os.environ.get("BENCH_BATCH"))
+        pin = None
+        if not shape_overridden:
+            if (task, op) == ("cls", "pospool"):
+                pin = pins.get("train_pps")
+            elif (task, op) == ("seg", "pospool"):
+                pin = pins.get("seg_pospool", {}).get("train_pps")
+        print(json.dumps({
+            "metric": "points_per_sec_per_chip_train",
+            "value": cell["train_pps"],
+            "unit": "points/s",
+            "vs_baseline": (round(cell["train_pps"] / pin, 3)
+                            if pin else None),
+            "vs_baseline_kind": "self_pin_unfused_xla_same_chip",
+            "infer_points_per_sec_per_chip": cell.get("infer_pps"),
+            "train_step_ms": cell["train_step_ms"],
+            "infer_step_ms": cell.get("infer_step_ms"),
+            "config": {"task": task, "op": op, "points": cell["points"],
+                       "batch": cell["batch"],
+                       "chips": len(jax.devices()), "precision": "bf16"},
+        }))
+        return
+
+    matrix = {}
+    for task in ("cls", "seg"):
+        for op_name, _ in MATRIX_OPS:
+            is_headline = (task, op_name) == ("cls", "pospool")
+            n = steps if is_headline else max(steps // 2, 5)
+            matrix[f"{task}/{op_name}"] = run_cell(
+                task, op_name, n, measure_infer=is_headline)
+
+    head = matrix["cls/pospool"]
+    vs = None
+    if pins.get("train_pps"):
+        vs = round(head["train_pps"] / pins["train_pps"], 3)
+    seg = matrix["seg/pospool"]
+    seg_pin = pins.get("seg_pospool", {}).get("train_pps")
+    if seg_pin:
+        seg["vs_pin"] = round(seg["train_pps"] / seg_pin, 3)
     print(json.dumps({
         "metric": "points_per_sec_per_chip_train",
-        "value": round(train_pps, 1),
+        "value": head["train_pps"],
         "unit": "points/s",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-        "infer_points_per_sec_per_chip": round(infer_pps, 1),
-        "train_step_ms": round(train_dt * 1e3, 2),
-        "infer_step_ms": round(infer_dt * 1e3, 2),
-        "config": {"task": task, "op": op, "points": num_points,
-                   "batch": batch, "chips": n_chips,
-                   "precision": cfg.precision},
+        "vs_baseline": vs,
+        "vs_baseline_kind": "self_pin_unfused_xla_same_chip",
+        "infer_points_per_sec_per_chip": head.get("infer_pps"),
+        "train_step_ms": head["train_step_ms"],
+        "infer_step_ms": head.get("infer_step_ms"),
+        "config": {"task": "cls", "op": "pospool",
+                   "points": head["points"], "batch": head["batch"],
+                   "chips": len(jax.devices()), "precision": "bf16"},
+        "matrix": matrix,
     }))
 
 
