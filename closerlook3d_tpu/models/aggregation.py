@@ -313,31 +313,38 @@ class LocalAggregation(nn.Module):
         bn = MaskedBatchNorm(cout, cfg.batchnorm_momentum,
                              dtype=jnp.float32, name="pw_bn_0")
         inv_r = jnp.float32(1.0 / float(self.radius))
-        hi = jax.lax.Precision.HIGHEST
-        f32 = support_features.astype(jnp.float32)
+        # dtype-matched projections: bf16 models do single-pass bf16 MXU
+        # matmuls with f32 accumulation (same treatment as the pospool /
+        # moments kernels); f32 models keep HIGHEST.
+        cdt = self.dtype
+        prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
 
+        def _dot(x, ws):
+            return jnp.dot(x.astype(cdt), ws.astype(cdt), precision=prec,
+                           preferred_element_type=jnp.float32)
+
+        fx = support_features
         g = jnp.zeros((*support_features.shape[:2], cout), jnp.float32)
         d = jnp.zeros((*query_xyz.shape[:2], cout), jnp.float32)
         off = 0
         if "dp" in ft:
             wdp = w[0:3]
-            g = g + jnp.dot(support_xyz.astype(jnp.float32) * inv_r, wdp,
-                            precision=hi)
-            d = d + jnp.dot(query_xyz.astype(jnp.float32) * inv_r, wdp,
-                            precision=hi)
+            g = g + _dot(support_xyz.astype(jnp.float32) * inv_r, wdp)
+            d = d + _dot(query_xyz.astype(jnp.float32) * inv_r, wdp)
             off = 3
         if "fi" in ft:
-            g = g + jnp.dot(f32, w[off:off + c], precision=hi)
+            g = g + _dot(fx, w[off:off + c])
             off += c
         if "df" in ft:
             wdf = w[off:off + c]
-            g = g + jnp.dot(f32, wdf, precision=hi)
-            f0 = jnp.take_along_axis(f32, idx[:, :, 0][:, :, None], axis=1)
-            d = d + jnp.dot(f0, wdf, precision=hi)
+            g = g + _dot(fx, wdf)
+            f0 = jnp.take_along_axis(fx, idx[:, :, 0][:, :, None], axis=1)
+            d = d + _dot(f0, wdf)
 
         if train:
             s = neighborhood_sum(
-                jnp.concatenate([g, g * g], axis=-1), idx, mask)
+                jnp.concatenate([g, g * g], axis=-1).astype(cdt),
+                idx, mask).astype(jnp.float32)
             s1, s2 = s[..., :cout], s[..., cout:]
             cnt = jnp.sum(mask, -1).astype(jnp.float32)[..., None]
             total = jnp.maximum(jnp.sum(cnt), 1.0)

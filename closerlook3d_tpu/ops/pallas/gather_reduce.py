@@ -90,10 +90,15 @@ def _sum_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+            fch = feats_ref[0, pl.ds(start, cs), :]
+            # bf16 features: single-pass bf16 MXU matmul (multi-hot
+            # entries are small ints, exact in bf16; f32 accumulation)
+            fprec = (_HI if fch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
             acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
-                fch, m, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
+                fch, m.astype(fch.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=fprec)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -111,7 +116,9 @@ def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, flags_ref, dfeats_ref,
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    dy = dyT_ref[0].astype(jnp.float32)
+    dy = dyT_ref[0]
+    dprec = (_HI if dy.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
@@ -119,8 +126,9 @@ def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, flags_ref, dfeats_ref,
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
             df = jax.lax.dot_general(
-                m, dy, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
+                m.astype(dy.dtype), dy,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=dprec)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
