@@ -299,7 +299,7 @@ class LocalAggregation(nn.Module):
                                  support_features, idx, mask, train):
         from closerlook3d_tpu.models.nn_utils import MaskedBatchNorm
         from closerlook3d_tpu.ops.pallas.gather_reduce import (
-            gather_sub_minmax, neighborhood_sum)
+            gather_sub_minmax, pwmlp_minmax_stats)
 
         cfg = self.config
         p = cfg.pointwisemlp
@@ -342,10 +342,12 @@ class LocalAggregation(nn.Module):
             d = d + _dot(f0, wdf)
 
         if train:
-            s = neighborhood_sum(
-                jnp.concatenate([g, g * g], axis=-1).astype(cdt),
-                idx, mask).astype(jnp.float32)
-            s1, s2 = s[..., :cout], s[..., cout:]
+            # fused kernel: the "- d" of h commutes out of max/min, so
+            # one pass yields the extrema AND the BN-stat sums from a
+            # single one-hot build (see ops/pallas/gather_reduce)
+            gmax, gmin, s1, s2 = pwmlp_minmax_stats(
+                g.astype(cdt), (g * g).astype(cdt), idx, mask)
+            hmax, hmin = gmax - d, gmin - d
             cnt = jnp.sum(mask, -1).astype(jnp.float32)[..., None]
             total = jnp.maximum(jnp.sum(cnt), 1.0)
             mean = jnp.sum(s1 - cnt * d, axis=(0, 1)) / total
@@ -355,9 +357,8 @@ class LocalAggregation(nn.Module):
             eff_s, eff_b = bn.stats_affine(mean, var, True)
         else:
             eff_s, eff_b = bn.stats_affine(None, None, False)
-
-        hmax, hmin = gather_sub_minmax(
-            g.astype(self.dtype), d.astype(self.dtype), idx, mask)
+            hmax, hmin = gather_sub_minmax(
+                g.astype(self.dtype), d.astype(self.dtype), idx, mask)
         # monotonicity: max_k relu(s*h+b) = relu(s*max h + b) for s>=0,
         # relu(s*min h + b) for s<0
         eff_s32 = eff_s.astype(jnp.float32)

@@ -427,19 +427,28 @@ def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            fch = feats_ref[0, pl.ds(start, cs), :].astype(jnp.float32)
+            fch = feats_ref[0, pl.ds(start, cs), :]
+            # bf16 features: modulate in f32, then single-pass bf16 MXU
+            # matmuls with f32 accumulation (multi-hot is exact; the
+            # modulated operand quantizes like any bf16 input)
+            fprec = (_HI if fch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+            fch32 = fch.astype(jnp.float32)
             sinU, cosU, sinV, cosV = _sc_chunk_trig(
                 sxyz_ref, qT, coef_ref, start, cs, inv_r)
             # y_sin = cosV·Σ f sinU − sinV·Σ f cosU
             # y_cos = cosV·Σ f cosU + sinV·Σ f sinU
-            g1 = fch * (s_sel * sinU + (1.0 - s_sel) * cosU)
-            g2 = fch * ((1.0 - s_sel) * sinU - s_sel * cosU)
+            g1 = (fch32 * (s_sel * sinU + (1.0 - s_sel) * cosU)).astype(
+                fch.dtype)
+            g2 = (fch32 * ((1.0 - s_sel) * sinU - s_sel * cosU)).astype(
+                fch.dtype)
+            mc = m.astype(fch.dtype)
             mg1 = jax.lax.dot_general(
-                g1, m, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
+                g1, mc, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=fprec)
             mg2 = jax.lax.dot_general(
-                g2, m, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
+                g2, mc, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=fprec)
             acc_ref[...] = acc_ref[...] + cosV * mg1 + sinV * mg2
         return 0
 
@@ -462,7 +471,10 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
     inv_r = 1.0 / radius
     s_sel = coef_ref[0, 3:4, :]
 
-    dy = dyT_ref[0].astype(jnp.float32)  # [C, T]
+    dy0 = dyT_ref[0]  # [C, T]
+    ddt = dy0.dtype
+    dprec = (_HI if ddt == jnp.float32 else jax.lax.Precision.DEFAULT)
+    dy = dy0.astype(jnp.float32)
     if reduction == "avg":
         cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
                       keepdims=True)
@@ -479,12 +491,15 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
             sinU, cosU, sinV, cosV = _sc_chunk_trig(
                 sxyz_ref, qT, coef_ref, start, cs, inv_r)
+            mc = m.astype(ddt)
             p = jax.lax.dot_general(
-                m, cosV * dy, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
+                mc, (cosV * dy).astype(ddt),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=dprec)
             q = jax.lax.dot_general(
-                m, sinV * dy, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
+                mc, (sinV * dy).astype(ddt),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=dprec)
             df = ((s_sel * sinU + (1.0 - s_sel) * cosU) * p
                   + ((1.0 - s_sel) * sinU - s_sel * cosU) * q)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)

@@ -321,16 +321,17 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
                 def body(kk, dg):
                     oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
                                              t, start)
-                    gf = _gather_T(oh.astype(gch.dtype), gch, fprec)
+                    ohc = oh.astype(gch.dtype)
+                    gf = _gather_T(ohc, gch, fprec)
                     h = gf - dT
                     inkf = ink.astype(jnp.float32)
                     contrib = inkf * ((h == hmax) * dmax
                                       + (h == hmin) * dmin)
                     dd_ref[...] = dd_ref[...] - contrib
                     return dg + jax.lax.dot_general(
-                        oh, contrib,
+                        ohc, contrib.astype(gch.dtype),
                         dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32, precision=_HI)
+                        preferred_element_type=jnp.float32, precision=fprec)
 
                 c = dT.shape[0]
                 dg = jax.lax.fori_loop(0, k, body,
@@ -671,3 +672,245 @@ def _max_bwd(res, dy):
 
 
 _max_vjp.defvjp(_max_fwd, _max_bwd)
+
+
+# --------------------------------------------------------------------------
+# pwmlp_minmax_stats — fused train-path kernel (minmax + BN statistics)
+# --------------------------------------------------------------------------
+#
+# The query-side term of h[t,k] = g[idx[t,k]] - d[t] is constant over k,
+# so it commutes out of max/min: the kernel reduces pure g-space gathers
+# and the caller applies "- d" outside. That lets ONE kernel produce
+#   gmax/gmin = masked max/min_k g[idx]   (±3e38 when empty)
+#   s1 = Σ_k g[idx],  s2 = Σ_k g²[idx]    (masked-BN statistics)
+# from a single wide one-hot build + g load per chunk — the separate
+# neighborhood_sum + gather_sub_minmax pair built the one-hot twice and
+# launched twice per direction. g² is a separate input so the gather
+# matmul stays C channels wide; its cotangent flows back to g through
+# autodiff of the caller's g*g. s1 costs no extra matmul (sum of the
+# already-gathered per-slot views); s2 is one multi-hot matmul whose
+# multi-hot is K lane-slice adds of the wide one-hot.
+# Tie semantics in bwd match gather_sub_minmax: every slot equal to the
+# extremum receives the full cotangent (ties are measure-zero for
+# continuous features).
+
+
+def pwmlp_minmax_stats(g, gsq, idx, mask):
+    """(gmax, gmin, s1, s2), each [B, Nq, C] f32; folds batch at small
+    nq like the other index-addressed kernels."""
+    b, nq, k = idx.shape
+    ns, c = g.shape[1], g.shape[2]
+    if _tile_chunked(nq if not _needs_fold(nq, b) else b * nq) % 128:
+        # tiny-tile fallback (never hit at production shapes): compose
+        # from the existing primitives
+        s = neighborhood_sum(jnp.concatenate([g, gsq], axis=-1), idx,
+                             mask)
+        z = jnp.zeros((b, nq, c), g.dtype)
+        hmax, hmin = gather_sub_minmax(g, z, idx, mask)
+        return hmax, hmin, s[..., :c], s[..., c:]
+    if _needs_fold(nq, b):
+        off = (jnp.arange(b, dtype=idx.dtype) * ns)[:, None, None]
+        outs = _pwstats_vjp(g.reshape(1, b * ns, c),
+                            gsq.reshape(1, b * ns, c),
+                            (idx + off).reshape(1, b * nq, k),
+                            mask.reshape(1, b * nq, k))
+        return tuple(o.reshape(b, nq, c) for o in outs)
+    return _pwstats_vjp(g, gsq, idx, mask)
+
+
+def _needs_fold(nq: int, b: int) -> bool:
+    from closerlook3d_tpu.ops.pallas.aggregation import _fold_batch
+    return _fold_batch(nq, b)
+
+
+def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
+                        max_ref, min_ref, s1_ref, s2_ref, hmax_ref,
+                        hmin_ref, s1a_ref, s2a_ref, *, k: int, ns: int):
+    t = idxT_ref.shape[2]
+    cs = min(ns, _MAX_CS)
+    trow = pl.program_id(1) % 8
+    hmax_ref[...] = jnp.full(hmax_ref.shape, -_BIG, hmax_ref.dtype)
+    hmin_ref[...] = jnp.full(hmin_ref.shape, _BIG, hmin_ref.dtype)
+    s1a_ref[...] = jnp.zeros(s1a_ref.shape, s1a_ref.dtype)
+    s2a_ref[...] = jnp.zeros(s2a_ref.shape, s2a_ref.dtype)
+
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            gch = g_ref[0, pl.ds(start, cs), :]
+            qch = gsq_ref[0, pl.ds(start, cs), :]
+            fprec = (_HI if gch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+            ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
+                                     start)
+            ohWc = ohW.astype(gch.dtype)
+            gfW = _gather_T(ohWc, gch, fprec)  # [C, K*T] f32
+            hmax, hmin = hmax_ref[...], hmin_ref[...]
+            s1 = s1a_ref[...]
+            m = ohWc[:, 0:t]
+            for kk in range(1, k):
+                m = m + ohWc[:, kk * t:(kk + 1) * t]
+            for kk in range(k):
+                gf = gfW[:, kk * t:(kk + 1) * t]
+                ink = inkW[:, kk * t:(kk + 1) * t]
+                hmax = jnp.where(ink, jnp.maximum(hmax, gf), hmax)
+                hmin = jnp.where(ink, jnp.minimum(hmin, gf), hmin)
+                s1 = s1 + gf  # one-hot is masked: invalid slots add 0
+            hmax_ref[...], hmin_ref[...] = hmax, hmin
+            s1a_ref[...] = s1
+            s2a_ref[...] = s2a_ref[...] + jax.lax.dot_general(
+                qch, m, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=fprec)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    max_ref[0] = hmax_ref[...]
+    min_ref[0] = hmin_ref[...]
+    s1_ref[0] = s1a_ref[...]
+    s2_ref[0] = s2a_ref[...]
+
+
+def _pwstats_bwd_kernel(g_ref, idxT_ref, maskT_ref, maxT_ref, minT_ref,
+                        dmaxT_ref, dminT_ref, ds1T_ref, ds2T_ref,
+                        flags_ref, dg_ref, dq_ref, *, k: int, ns: int):
+    tile = pl.program_id(1)
+    t = idxT_ref.shape[2]
+    cs = min(ns, _MAX_CS)
+    trow = tile % 8
+    hmax = maxT_ref[0]  # [C, T] f32 (pre-transposed fwd outputs)
+    hmin = minT_ref[0]
+    dmax = dmaxT_ref[0].astype(jnp.float32)
+    dmin = dminT_ref[0].astype(jnp.float32)
+
+    @pl.when(tile == 0)
+    def _():
+        dg_ref[0] = jnp.zeros_like(dg_ref[0])
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            gch = g_ref[0, pl.ds(start, cs), :]
+            fprec = (_HI if gch.dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
+            ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
+                                     start)
+            ohWc = ohW.astype(gch.dtype)
+            gfW = _gather_T(ohWc, gch, fprec)  # [C, K*T]
+            m = ohWc[:, 0:t]
+            for kk in range(1, k):
+                m = m + ohWc[:, kk * t:(kk + 1) * t]
+            parts = []
+            for kk in range(k):
+                gf = gfW[:, kk * t:(kk + 1) * t]
+                inkf = inkW[:, kk * t:(kk + 1) * t].astype(jnp.float32)
+                contrib = inkf * ((gf == hmax) * dmax
+                                  + (gf == hmin) * dmin)
+                parts.append(contrib.astype(gch.dtype))
+            dgW = jnp.concatenate(parts, axis=1)  # [C, K*T]
+            ds1 = ds1T_ref[0].astype(gch.dtype)  # [C, T]
+            ds2 = ds2T_ref[0].astype(gch.dtype)
+            dg = jax.lax.dot_general(
+                ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=fprec)
+            dg = dg + jax.lax.dot_general(
+                m, ds1, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=fprec)
+            dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
+            dq_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
+                m, ds2, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=fprec).astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+
+
+@jax.custom_vjp
+def _pwstats_vjp(g, gsq, idx, mask):
+    out, _ = _pwstats_call(g, gsq, idx, mask)
+    return out
+
+
+def _pwstats_call(g, gsq, idx, mask):
+    b, nq, k = idx.shape
+    pad = (-g.shape[1]) % _MAX_CS
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        gsq = jnp.pad(gsq, ((0, 0), (0, pad), (0, 0)))
+    ns, c = g.shape[1], g.shape[2]
+    tile = _tile_chunked(nq)
+    iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
+    ntile = nqp // tile
+    cs = min(ns, _MAX_CS)
+    kern = functools.partial(_pwstats_fwd_kernel, k=k, ns=ns)
+    qT = _qTspec(tile, c)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[_gspec(ns, c), _gspec(ns, c), _ispec(tile, k),
+                  _ispec(tile, k), _flags_spec(ns // cs)],
+        out_specs=(qT, qT, qT, qT),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, c, nqp), jnp.float32)
+            for _ in range(4)),
+        scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)
+                        for _ in range(4)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(g, gsq, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    maxT, minT = outs[0], outs[1]
+    return (tuple(jnp.swapaxes(o, 1, 2)[:, :nq0] for o in outs),
+            (maxT, minT))
+
+
+def _pwstats_fwd(g, gsq, idx, mask):
+    out, (maxT, minT) = _pwstats_call(g, gsq, idx, mask)
+    return out, (g, idx, mask, maxT, minT)
+
+
+def _pwstats_bwd(res, dys):
+    g, idx, mask, maxT, minT = res
+    dmax, dmin, ds1, ds2 = dys
+    b, nq, k = idx.shape
+    ns0 = g.shape[1]
+    pad = (-g.shape[1]) % _MAX_CS
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    ns, c = g.shape[1], g.shape[2]
+    tile = _tile_chunked(nq)
+    iT, mT, _, nqp = _prep_iq(idx, mask, tile)
+
+    def t_of(x):
+        xp, _ = _pad_queries(x, tile)
+        return jnp.swapaxes(xp, 1, 2)
+
+    dmaxT, dminT, ds1T, ds2T = t_of(dmax), t_of(dmin), t_of(ds1), t_of(ds2)
+    ntile = nqp // tile
+    cs = min(ns, _MAX_CS)
+    kern = functools.partial(_pwstats_bwd_kernel, k=k, ns=ns)
+    qT = _qTspec(tile, c)
+    dg, dq = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+                  qT, qT, qT, qT, qT, qT, _flags_spec(ns // cs)],
+        out_specs=(_gspec(ns, c), _gspec(ns, c)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ns, c), g.dtype),
+            jax.ShapeDtypeStruct((b, ns, c), g.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(g, iT, mT, maxT, minT, dmaxT, dminT, ds1T, ds2T,
+      _chunk_flags(idx, mask, tile, cs, ns // cs))
+    return dg[:, :ns0], dq[:, :ns0], None, None
+
+
+_pwstats_vjp.defvjp(_pwstats_fwd, _pwstats_bwd)

@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from closerlook3d_tpu.models.aggregation import LocalAggregation
 from closerlook3d_tpu.ops import ball_query
 from closerlook3d_tpu.ops.pallas.gather_reduce import (
-    gather_sub_minmax, neighborhood_sum)
+    gather_sub_minmax, neighborhood_sum, pwmlp_minmax_stats)
 from closerlook3d_tpu.utils.config import load_config
 
 B, N, K, C, COUT = 2, 64, 6, 8, 16
@@ -83,6 +83,53 @@ def test_gather_sub_minmax_fwd_bwd(data):
     for a, b_ in zip(gr, gf):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pwmlp_minmax_stats_fwd_bwd(data):
+    """Fused train kernel vs the composition it replaces."""
+    xyz, feats, idx, nmask = data
+    rng = np.random.default_rng(13)
+    g = jnp.array(rng.normal(size=(B, N, COUT)).astype(np.float32))
+
+    def ref(g):
+        gf = jnp.take_along_axis(
+            g, idx.reshape(B, -1)[..., None], axis=1).reshape(B, N, K, COUT)
+        big = jnp.float32(3e38)
+        mk = nmask[..., None]
+        gmax = jnp.max(jnp.where(mk, gf, -big), axis=2)
+        gmin = jnp.min(jnp.where(mk, gf, big), axis=2)
+        s1 = jnp.sum(jnp.where(mk, gf, 0.0), axis=2)
+        s2 = jnp.sum(jnp.where(mk, gf**2, 0.0), axis=2)
+        return gmax, gmin, s1, s2
+
+    refs = ref(g)
+    got = pwmlp_minmax_stats(g, g * g, idx, nmask)
+    valid = np.asarray(jnp.any(nmask, -1))
+    for r, o, name in zip(refs, got, ("gmax", "gmin", "s1", "s2")):
+        r, o = np.asarray(r), np.asarray(o)
+        if name in ("gmax", "gmin"):
+            np.testing.assert_allclose(o[valid], r[valid], rtol=1e-5,
+                                       err_msg=name)
+        else:
+            np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-5,
+                                       err_msg=name)
+
+    v = jnp.any(nmask, -1, keepdims=True)
+
+    def loss_ref(g):
+        gmax, gmin, s1, s2 = ref(g)
+        return jnp.sum(jnp.where(v, gmax**2 + 0.5 * gmin, 0.0)) \
+            + jnp.sum(s1 * 0.25 + s2 * 0.125)
+
+    def loss_fused(g):
+        gmax, gmin, s1, s2 = pwmlp_minmax_stats(g, g * g, idx, nmask)
+        return jnp.sum(jnp.where(v, gmax**2 + 0.5 * gmin, 0.0)) \
+            + jnp.sum(s1 * 0.25 + s2 * 0.125)
+
+    gr = jax.grad(loss_ref)(g)
+    gf = jax.grad(loss_fused)(g)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("feature_type", ["dp_fi_df", "dp", "dp_fi"])
