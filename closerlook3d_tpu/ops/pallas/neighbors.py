@@ -181,9 +181,12 @@ def _bq_chunked_kernel(qxyz_ref, saug_ref, qmask_ref, flags_ref,
     qaug = jnp.concatenate([q, jnp.ones((t, 1), jnp.float32)], axis=1)
     trow = pl.program_id(1) % 8
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
-    w = k + cs
+    # the running list rides in a full 128-lane group so the merge
+    # concat [rd2pad | d2c] is alignment-preserving — the k-lane offset
+    # otherwise relayouts the whole [T, cs] chunk block every merge
+    kp = 128
+    w = kp + cs
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-    iota_cs = jax.lax.broadcasted_iota(jnp.int32, (t, cs), 1)
     rd2_ref[...] = jnp.full((t, k), _BIG, jnp.float32)
     ridx_ref[...] = jnp.zeros((t, k), jnp.int32)
 
@@ -207,7 +210,10 @@ def _bq_chunked_kernel(qxyz_ref, saug_ref, qmask_ref, flags_ref,
             def _merge():
                 rd2 = rd2_ref[...]
                 prev_i = ridx_ref[...]  # [T, K]
-                comb_d = jnp.concatenate([rd2, d2c], axis=1)
+                rd2p = jnp.concatenate(
+                    [rd2, jnp.full((t, kp - k), _BIG, jnp.float32)],
+                    axis=1)  # [T, kp]
+                comb_d = jnp.concatenate([rd2p, d2c], axis=1)
                 # running-list prefix already better than anything this
                 # chunk offers keeps its slots: skip those passes (cuts
                 # the re-extraction cost from ~K per chunk to ~#new)
@@ -231,7 +237,7 @@ def _bq_chunked_kernel(qxyz_ref, saug_ref, qmask_ref, flags_ref,
                     vprev = jnp.sum(
                         jnp.where(iota_k == pos, prev_i, 0), axis=1,
                         keepdims=True)
-                    vi = jnp.where(pos < k, vprev, pos - k + start)
+                    vi = jnp.where(pos < kp, vprev, pos - kp + start)
                     sel_k = iota_k == kk
                     out_d = out_d + dmin * sel_k.astype(jnp.float32)
                     out_i = out_i + vi * sel_k.astype(jnp.int32)
