@@ -520,20 +520,19 @@ def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
     out_ref[0] = jnp.where(cnt > 0, acc_ref[...], 0.0)
 
 
-def _max_bwd_kernel(feats_ref, idxT_ref, maskT_ref, maxT_ref, dyT_ref,
-                    flags_ref, dfeats_ref, routed_ref, *, k: int, ns: int):
-    tile = pl.program_id(1)
+def _max_fwd_arg_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref,
+                        out_ref, arg_ref, acc_ref, aacc_ref, *, k: int,
+                        ns: int):
+    """Forward used under autodiff: also emits the winning GLOBAL slot
+    id (chunk*K + slot, f32, −1 when empty) per (channel, query), so the
+    backward routes cotangents by one index compare per slot — no
+    feature re-gather, no max-value residual. First strictly-greater
+    wins, matching the previous first-wins equality routing."""
     t = idxT_ref.shape[2]
     cs = min(ns, _MAX_CS)
-    trow = tile % 8
-
-    @pl.when(tile == 0)
-    def _():
-        dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
-
-    dy = dyT_ref[0].astype(jnp.float32)  # [C, T]
-    mx = maxT_ref[0]  # [C, T] f32 (pre-cast fwd output)
-    routed_ref[...] = jnp.zeros(routed_ref.shape, routed_ref.dtype)
+    trow = pl.program_id(1) % 8
+    acc_ref[...] = jnp.full(acc_ref.shape, -_BIG, acc_ref.dtype)
+    aacc_ref[...] = jnp.full(aacc_ref.shape, -1.0, aacc_ref.dtype)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
@@ -545,17 +544,67 @@ def _max_bwd_kernel(feats_ref, idxT_ref, maskT_ref, maxT_ref, dyT_ref,
             if t % 128 == 0:
                 ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
                                          start)
-                ohWc = ohW.astype(fch.dtype)
-                gW = _gather_T(ohWc, fch, prec)  # [C, K*T]
-                # first-wins argmax routing, sequential over [C,T] views
-                parts = []
+                gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
+                acc, aarg = acc_ref[...], aacc_ref[...]
                 for kk in range(k):
                     g = gW[:, kk * t:(kk + 1) * t]
                     ink = inkW[:, kk * t:(kk + 1) * t]
-                    sel = ((g == mx) & ink
-                           & (routed_ref[...] == 0.0)).astype(jnp.float32)
-                    routed_ref[...] = routed_ref[...] + sel
-                    parts.append((dy * sel).astype(fch.dtype))
+                    gid = (ci * k + kk).astype(jnp.float32)
+                    win = ink & (g > acc)
+                    acc = jnp.where(win, g, acc)
+                    aarg = jnp.where(win, gid, aarg)
+                acc_ref[...] = acc
+                aacc_ref[...] = aarg
+            else:
+                def body(kk, _):
+                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                             t, start)
+                    gfT = _gather_T(oh.astype(fch.dtype), fch, prec)
+                    gid = (ci * k + kk).astype(jnp.float32)
+                    win = ink & (gfT > acc_ref[...])
+                    acc_ref[...] = jnp.where(win, gfT, acc_ref[...])
+                    aacc_ref[...] = jnp.where(win, gid, aacc_ref[...])
+                    return 0
+
+                jax.lax.fori_loop(0, k, body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0, keepdims=True)
+    out_ref[0] = jnp.where(cnt > 0, acc_ref[...], 0.0)
+    arg_ref[0] = aacc_ref[...]
+
+
+def _max_bwd_kernel(idxT_ref, maskT_ref, argT_ref, dyT_ref,
+                    flags_ref, dfeats_ref, *, k: int, ns: int):
+    tile = pl.program_id(1)
+    t = idxT_ref.shape[2]
+    cs = min(ns, _MAX_CS)
+    trow = tile % 8
+
+    @pl.when(tile == 0)
+    def _():
+        dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
+
+    mdt = dfeats_ref.dtype
+    prec = _HI if mdt == jnp.float32 else jax.lax.Precision.DEFAULT
+    dy = dyT_ref[0].astype(mdt)  # [C, T]
+    aarg = argT_ref[0]  # [C, T] f32 global winning slot ids
+
+    def chunk_body(ci, _):
+        @pl.when(_flag(flags_ref, trow, ci) != 0)
+        def _():
+            start = ci * cs
+            if t % 128 == 0:
+                ohW, _ = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
+                                      start)
+                ohWc = ohW.astype(mdt)
+                # winner ids are globally unique, so one compare routes
+                # the cotangent; slots won by other chunks match nothing
+                parts = []
+                for kk in range(k):
+                    gid = (ci * k + kk).astype(jnp.float32)
+                    parts.append(dy * (aarg == gid).astype(mdt))
                 dgW = jnp.concatenate(parts, axis=1)  # [C, K*T]
                 dfeats_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
                     ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -563,15 +612,11 @@ def _max_bwd_kernel(feats_ref, idxT_ref, maskT_ref, maxT_ref, dyT_ref,
                     precision=prec).astype(dfeats_ref.dtype)
             else:
                 def body(kk, df):
-                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
-                                             t, start)
-                    ohc = oh.astype(fch.dtype)
-                    gfT = _gather_T(ohc, fch, prec)
-                    sel = ((gfT == mx) & ink
-                           & (routed_ref[...] == 0.0)).astype(jnp.float32)
-                    routed_ref[...] = routed_ref[...] + sel
+                    oh, _ = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                           t, start)
+                    gid = (ci * k + kk).astype(jnp.float32)
                     return df + jax.lax.dot_general(
-                        ohc, (dy * sel).astype(fch.dtype),
+                        oh.astype(mdt), dy * (aarg == gid).astype(mdt),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32, precision=prec)
 
@@ -634,18 +679,46 @@ def _max_call(features, idx, mask):
 
 
 def _max_fwd(features, idx, mask):
-    out, outT = _max_call(features, idx, mask)
-    return out, (features, idx, mask, outT)
+    b, nq, k = idx.shape
+    dtype = features.dtype
+    fp = features
+    pad = (-features.shape[1]) % _MAX_CS
+    if pad:
+        fp = jnp.pad(fp, ((0, 0), (0, pad), (0, 0)))
+    ns, c = fp.shape[1], fp.shape[2]
+    tile = _tile_chunked(nq)
+    iT, mT, nq0, nqp = _prep_iq(idx, mask, tile)
+    ntile = nqp // tile
+    cs = min(ns, _MAX_CS)
+    kern = functools.partial(_max_fwd_arg_kernel, k=k, ns=ns)
+    outT, argT = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+                  _flags_spec(ns // cs)],
+        out_specs=(_qTspec(tile, c), _qTspec(tile, c)),
+        out_shape=(jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
+                   jax.ShapeDtypeStruct((b, c, nqp), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32),
+                        pltpu.VMEM((c, tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(fp, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    out = jnp.swapaxes(outT, 1, 2)[:, :nq0].astype(dtype)
+    # features rides along only for its static shape/dtype — the bwd
+    # kernel never reads it (argmax routing), so no HBM traffic
+    return out, (features, idx, mask, argT)
 
 
 def _max_bwd(res, dy):
-    features, idx, mask, maxT = res
+    features, idx, mask, argT = res
+    fdtype = features.dtype
     b, nq, k = idx.shape
     ns0 = features.shape[1]
-    pad = (-features.shape[1]) % _MAX_CS
-    if pad:
-        features = jnp.pad(features, ((0, 0), (0, pad), (0, 0)))
-    ns, c = features.shape[1], features.shape[2]
+    ns = ns0 + (-ns0) % _MAX_CS
+    c = features.shape[2]
     tile = _tile_chunked(nq)
     iT, mT, _, nqp = _prep_iq(idx, mask, tile)
     dyp, _ = _pad_queries(dy, tile)
@@ -656,17 +729,16 @@ def _max_bwd(res, dy):
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+        in_specs=[_ispec(tile, k), _ispec(tile, k),
                   _qTspec(tile, c), _qTspec(tile, c),
                   _flags_spec(ns // cs)],
         out_specs=_gspec(ns, c),
-        out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
-        scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, ns, c), fdtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(features, iT, mT, maxT, dyT,
+    )(iT, mT, argT, dyT,
       _chunk_flags(idx, mask, tile, cs, ns // cs))
     return dfeats[:, :ns0], None, None
 
@@ -690,9 +762,10 @@ _max_vjp.defvjp(_max_fwd, _max_bwd)
 # autodiff of the caller's g*g. s1 costs no extra matmul (sum of the
 # already-gathered per-slot views); s2 is one multi-hot matmul whose
 # multi-hot is K lane-slice adds of the wide one-hot.
-# Tie semantics in bwd match gather_sub_minmax: every slot equal to the
-# extremum receives the full cotangent (ties are measure-zero for
-# continuous features).
+# Tie semantics in bwd: the FIRST extremal slot (chunk-then-slot order)
+# receives the full cotangent — the fwd records the winning global slot
+# id and the bwd routes by one index compare per slot, so no feature
+# re-gather is needed (ties are measure-zero for continuous features).
 
 
 def pwmlp_minmax_stats(g, gsq, idx, mask):
@@ -724,8 +797,9 @@ def _needs_fold(nq: int, b: int) -> bool:
 
 
 def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
-                        max_ref, min_ref, s1_ref, s2_ref, hmax_ref,
-                        hmin_ref, s1a_ref, s2a_ref, *, k: int, ns: int):
+                        max_ref, min_ref, s1_ref, s2_ref, amax_ref,
+                        amin_ref, hmax_ref, hmin_ref, s1a_ref, s2a_ref,
+                        amaxa_ref, amina_ref, *, k: int, ns: int):
     t = idxT_ref.shape[2]
     cs = min(ns, _MAX_CS)
     trow = pl.program_id(1) % 8
@@ -733,6 +807,8 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
     hmin_ref[...] = jnp.full(hmin_ref.shape, _BIG, hmin_ref.dtype)
     s1a_ref[...] = jnp.zeros(s1a_ref.shape, s1a_ref.dtype)
     s2a_ref[...] = jnp.zeros(s2a_ref.shape, s2a_ref.dtype)
+    amaxa_ref[...] = jnp.full(amaxa_ref.shape, -1.0, amaxa_ref.dtype)
+    amina_ref[...] = jnp.full(amina_ref.shape, -1.0, amina_ref.dtype)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
@@ -747,6 +823,7 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
             ohWc = ohW.astype(gch.dtype)
             gfW = _gather_T(ohWc, gch, fprec)  # [C, K*T] f32
             hmax, hmin = hmax_ref[...], hmin_ref[...]
+            amax, amin = amaxa_ref[...], amina_ref[...]
             s1 = s1a_ref[...]
             m = ohWc[:, 0:t]
             for kk in range(1, k):
@@ -754,10 +831,18 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
             for kk in range(k):
                 gf = gfW[:, kk * t:(kk + 1) * t]
                 ink = inkW[:, kk * t:(kk + 1) * t]
-                hmax = jnp.where(ink, jnp.maximum(hmax, gf), hmax)
-                hmin = jnp.where(ink, jnp.minimum(hmin, gf), hmin)
+                gid = (ci * k + kk).astype(jnp.float32)
+                # strict compares keep the FIRST extremum: the winning
+                # global slot id is what the backward routes by
+                winx = ink & (gf > hmax)
+                hmax = jnp.where(winx, gf, hmax)
+                amax = jnp.where(winx, gid, amax)
+                winn = ink & (gf < hmin)
+                hmin = jnp.where(winn, gf, hmin)
+                amin = jnp.where(winn, gid, amin)
                 s1 = s1 + gf  # one-hot is masked: invalid slots add 0
             hmax_ref[...], hmin_ref[...] = hmax, hmin
+            amaxa_ref[...], amina_ref[...] = amax, amin
             s1a_ref[...] = s1
             s2a_ref[...] = s2a_ref[...] + jax.lax.dot_general(
                 qch, m, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -769,19 +854,23 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
     min_ref[0] = hmin_ref[...]
     s1_ref[0] = s1a_ref[...]
     s2_ref[0] = s2a_ref[...]
+    amax_ref[0] = amaxa_ref[...]
+    amin_ref[0] = amina_ref[...]
 
 
-def _pwstats_bwd_kernel(g_ref, idxT_ref, maskT_ref, maxT_ref, minT_ref,
+def _pwstats_bwd_kernel(idxT_ref, maskT_ref, amaxT_ref, aminT_ref,
                         dmaxT_ref, dminT_ref, ds1T_ref, ds2T_ref,
                         flags_ref, dg_ref, dq_ref, *, k: int, ns: int):
     tile = pl.program_id(1)
     t = idxT_ref.shape[2]
     cs = min(ns, _MAX_CS)
     trow = tile % 8
-    hmax = maxT_ref[0]  # [C, T] f32 (pre-transposed fwd outputs)
-    hmin = minT_ref[0]
-    dmax = dmaxT_ref[0].astype(jnp.float32)
-    dmin = dminT_ref[0].astype(jnp.float32)
+    mdt = dg_ref.dtype
+    fprec = _HI if mdt == jnp.float32 else jax.lax.Precision.DEFAULT
+    amax = amaxT_ref[0]  # [C, T] f32 global winning slot ids
+    amin = aminT_ref[0]
+    dmax = dmaxT_ref[0].astype(mdt)
+    dmin = dminT_ref[0].astype(mdt)
 
     @pl.when(tile == 0)
     def _():
@@ -792,26 +881,22 @@ def _pwstats_bwd_kernel(g_ref, idxT_ref, maskT_ref, maxT_ref, minT_ref,
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
-            gch = g_ref[0, pl.ds(start, cs), :]
-            fprec = (_HI if gch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
-                                     start)
-            ohWc = ohW.astype(gch.dtype)
-            gfW = _gather_T(ohWc, gch, fprec)  # [C, K*T]
+            ohW, _ = _wide_onehot(idxT_ref, maskT_ref, k, cs, t, start)
+            ohWc = ohW.astype(mdt)
             m = ohWc[:, 0:t]
             for kk in range(1, k):
                 m = m + ohWc[:, kk * t:(kk + 1) * t]
+            # winner ids are globally unique: one compare per extremum
+            # routes the cotangent — no feature re-gather needed
             parts = []
             for kk in range(k):
-                gf = gfW[:, kk * t:(kk + 1) * t]
-                inkf = inkW[:, kk * t:(kk + 1) * t].astype(jnp.float32)
-                contrib = inkf * ((gf == hmax) * dmax
-                                  + (gf == hmin) * dmin)
-                parts.append(contrib.astype(gch.dtype))
+                gid = (ci * k + kk).astype(jnp.float32)
+                contrib = (dmax * (amax == gid).astype(mdt)
+                           + dmin * (amin == gid).astype(mdt))
+                parts.append(contrib)
             dgW = jnp.concatenate(parts, axis=1)  # [C, K*T]
-            ds1 = ds1T_ref[0].astype(gch.dtype)  # [C, T]
-            ds2 = ds2T_ref[0].astype(gch.dtype)
+            ds1 = ds1T_ref[0].astype(mdt)  # [C, T]
+            ds2 = ds2T_ref[0].astype(mdt)
             dg = jax.lax.dot_general(
                 ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=fprec)
@@ -852,36 +937,35 @@ def _pwstats_call(g, gsq, idx, mask):
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), _gspec(ns, c), _ispec(tile, k),
                   _ispec(tile, k), _flags_spec(ns // cs)],
-        out_specs=(qT, qT, qT, qT),
+        out_specs=(qT, qT, qT, qT, qT, qT),
         out_shape=tuple(
             jax.ShapeDtypeStruct((b, c, nqp), jnp.float32)
-            for _ in range(4)),
+            for _ in range(6)),
         scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)
-                        for _ in range(4)],
+                        for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(g, gsq, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
-    maxT, minT = outs[0], outs[1]
-    return (tuple(jnp.swapaxes(o, 1, 2)[:, :nq0] for o in outs),
-            (maxT, minT))
+    return (tuple(jnp.swapaxes(o, 1, 2)[:, :nq0] for o in outs[:4]),
+            (outs[4], outs[5]))
 
 
 def _pwstats_fwd(g, gsq, idx, mask):
-    out, (maxT, minT) = _pwstats_call(g, gsq, idx, mask)
-    return out, (g, idx, mask, maxT, minT)
+    out, (amaxT, aminT) = _pwstats_call(g, gsq, idx, mask)
+    # g rides along only for its static shape/dtype — the bwd kernel
+    # never reads it (argmax routing)
+    return out, (g, idx, mask, amaxT, aminT)
 
 
 def _pwstats_bwd(res, dys):
-    g, idx, mask, maxT, minT = res
+    g, idx, mask, amaxT, aminT = res
     dmax, dmin, ds1, ds2 = dys
     b, nq, k = idx.shape
     ns0 = g.shape[1]
-    pad = (-g.shape[1]) % _MAX_CS
-    if pad:
-        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
-    ns, c = g.shape[1], g.shape[2]
+    ns = ns0 + (-ns0) % _MAX_CS
+    c = g.shape[2]
     tile = _tile_chunked(nq)
     iT, mT, _, nqp = _prep_iq(idx, mask, tile)
 
@@ -897,7 +981,7 @@ def _pwstats_bwd(res, dys):
     dg, dq = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+        in_specs=[_ispec(tile, k), _ispec(tile, k),
                   qT, qT, qT, qT, qT, qT, _flags_spec(ns // cs)],
         out_specs=(_gspec(ns, c), _gspec(ns, c)),
         out_shape=(
@@ -908,7 +992,7 @@ def _pwstats_bwd(res, dys):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(g, iT, mT, maxT, minT, dmaxT, dminT, ds1T, ds2T,
+    )(iT, mT, amaxT, aminT, dmaxT, dminT, ds1T, ds2T,
       _chunk_flags(idx, mask, tile, cs, ns // cs))
     return dg[:, :ns0], dq[:, :ns0], None, None
 
