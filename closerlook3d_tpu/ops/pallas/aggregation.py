@@ -174,7 +174,23 @@ def _multi_hot_T(idxT_ref, maskT_ref, k: int, ns: int, t: int):
         oh = (iota == _row(idxT_ref, kk)) & (_row(maskT_ref, kk) != 0)
         return m + oh.astype(jnp.float32)
 
-    return jax.lax.fori_loop(0, k, body, jnp.zeros((ns, t), jnp.float32))
+    return jax.lax.fori_loop(0, _hi_slot(maskT_ref, k, t), body,
+                             jnp.zeros((ns, t), jnp.float32))
+
+
+def _hi_slot(maskT_ref, k: int, t: int):
+    """Scalar bound on the slot loops: 1 + highest valid slot index over
+    this query tile (0 when the tile has no valid neighbor at all).
+
+    The ordered ball query packs valid neighbors as a prefix, so this is
+    typically the tile's max neighbor COUNT — work tracks true
+    occupancy, not K. Exact for arbitrary masks too (any all-invalid
+    slot tail contributes nothing to a masked accumulation). The slot
+    count comes from the ref itself — slot-padded refs (gather_reduce's
+    _prep_iq) carry mask 0 in the pad rows, which never win the max."""
+    kr = maskT_ref.shape[1]  # ref block is [1, K(p), T]
+    iota1 = jax.lax.broadcasted_iota(jnp.int32, (kr, t), 0) + 1
+    return jnp.max(jnp.where(maskT_ref[0] != 0, iota1, 0))
 
 
 def _gather_T(ohT, src, precision):
@@ -224,9 +240,11 @@ def _wide_onehot(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
     """One-hot [cs, K*T] (k-major lanes) + per-slot in-chunk rows
     ([1, K*T]): column k*T+t is slot k of query t. ONE vectorized
     compare instead of a K-iteration loop; requires t % 128 == 0
-    (Mosaic's [K,T]->[1,K*T] reshape needs lane-aligned T)."""
-    rowW = idxT_ref[0].reshape(1, k * t)
-    mW = maskT_ref[0].reshape(1, k * t) != 0
+    (Mosaic's [K,T]->[1,K*T] reshape needs lane-aligned T). k may be
+    smaller than the ref's slot dim (slot-padded inputs) — only the
+    first k rows are used."""
+    rowW = idxT_ref[0, pl.ds(0, k), :].reshape(1, k * t)
+    mW = maskT_ref[0, pl.ds(0, k), :].reshape(1, k * t) != 0
     iota = jax.lax.broadcasted_iota(jnp.int32, (cs, k * t), 0) + start
     inkW = mW & (rowW >= start) & (rowW < start + cs)
     ohW = (iota == rowW) & mW
@@ -239,6 +257,8 @@ def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
     Deliberately a rolled fori loop: building via _wide_onehot + a
     [cs,K,T] reshape-sum was measured SLOWER (seg step 94.5 -> 129.7
     ms) — the per-chunk relayout outweighs the loop overhead here.
+    The trip count is bounded by the tile's true occupancy (_hi_slot),
+    not K: at bench geometry that is 2-6 of K=26-39.
     """
     iota = jax.lax.broadcasted_iota(jnp.int32, (cs, t), 0) + start
 
@@ -246,7 +266,8 @@ def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
         oh = (iota == _row(idxT_ref, kk)) & (_row(maskT_ref, kk) != 0)
         return m + oh.astype(jnp.float32)
 
-    return jax.lax.fori_loop(0, k, body, jnp.zeros((cs, t), jnp.float32))
+    return jax.lax.fori_loop(0, _hi_slot(maskT_ref, k, t), body,
+                             jnp.zeros((cs, t), jnp.float32))
 
 
 def _xyz_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,

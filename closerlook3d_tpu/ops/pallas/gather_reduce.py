@@ -31,11 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
-    _wide_onehot,
     _chunk_flags,
     _flag,
     _flags_spec,
     _gather_T,
+    _hi_slot,
     _interpret,
     _multi_hot_chunk,
     _one_hot_chunk,
@@ -44,18 +44,83 @@ from closerlook3d_tpu.ops.pallas.aggregation import (
     _row,
     _tile_chunked,
     _tile_for,
+    _wide_onehot,
 )
 
 _HI = jax.lax.Precision.HIGHEST
 _BIG = 3e38  # python float: jnp constants may not be closure-captured
 
 
+_KG = 8  # slot-group width for the grouped wide-onehot kernels
+
+
 def _prep_iq(idx, mask, tile):
+    """Pad queries to the tile and slots to a _KG multiple (padded slots
+    carry mask 0 / idx 0, so they contribute nothing; the group loops
+    need in-bounds [gi*_KG, gi*_KG+_KG) sublane slices)."""
+    kpad = (-idx.shape[2]) % _KG
+    if kpad:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, kpad)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, kpad)))
     ip, nq0 = _pad_queries(idx, tile)
     mp, _ = _pad_queries(mask, tile)
-    iT = jnp.swapaxes(ip, 1, 2)  # [B, K, Nqp]
+    iT = jnp.swapaxes(ip, 1, 2)  # [B, Kp, Nqp]
     mT = jnp.swapaxes(mp, 1, 2).astype(jnp.int32)
     return iT, mT, nq0, ip.shape[1]
+
+
+def _kp_of(k: int) -> int:
+    return k + (-k) % _KG
+
+
+def _group_onehot(idxT_ref, maskT_ref, gi, cs: int, t: int, start):
+    """One-hot [cs, _KG*T] for slot group gi (slots gi*_KG..+_KG) +
+    in-chunk flags [1, _KG*T]. Same layout contract as _wide_onehot but
+    built from a dynamic sublane slice of the [Kp, T] index block, so
+    the caller can skip groups beyond the tile's true occupancy."""
+    g = _KG
+    rows = idxT_ref[0, pl.ds(gi * g, g), :]  # [G, T]
+    msk = maskT_ref[0, pl.ds(gi * g, g), :]
+    rowW = rows.reshape(1, g * t)
+    mW = msk.reshape(1, g * t) != 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cs, g * t), 0) + start
+    inkW = mW & (rowW >= start) & (rowW < start + cs)
+    ohW = (iota == rowW) & mW
+    return ohW, inkW
+
+
+def _slot_groups(idxT_ref, maskT_ref, k: int, cs: int, t: int, start,
+                 hi, body_fn):
+    """Occupancy-adaptive slot iteration for the chunked gather kernels.
+
+    body_fn(base, g, ohW, inkW) processes slots [base, base+g) of every
+    query in the tile, given their k-major one-hot [cs, g*T] and
+    in-chunk flags [1, g*T]. It MUST keep all state in scratch/output
+    refs: both paths below are predicated branches, so nothing can flow
+    through SSA values across calls. body_fn(0, ...) runs exactly once
+    per chunk (first group / wide call), so write-on-base-0 is a valid
+    per-chunk scratch reset.
+
+    hi = _hi_slot(...): 1 + the highest valid slot over the tile.
+    Dense tiles (hi > k/2) build ONE wide one-hot over all k slots and
+    make a single matmul-sized call — per-launch overhead amortizes
+    best. Sparse tiles run statically-unrolled _KG-slot groups and skip
+    groups no query occupies: work tracks true occupancy, which at
+    uniform-random bench geometry is 2-6 of K=26-39.
+    """
+    @pl.when(2 * hi > k)
+    def _():
+        ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t, start)
+        body_fn(0, k, ohW, inkW)
+
+    @pl.when(2 * hi <= k)
+    def _():
+        for gi in range((k // 2 + _KG - 1) // _KG):
+            @pl.when(gi * _KG < hi)
+            def _(gi=gi):
+                ohW, inkW = _group_onehot(idxT_ref, maskT_ref, gi, cs,
+                                          t, start)
+                body_fn(gi * _KG, _KG, ohW, inkW)
 
 
 def _ispec(tile, k):
@@ -168,7 +233,7 @@ def _sum_call(features, idx, mask):
     outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+        in_specs=[_gspec(ns, c), _ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
                   _flags_spec(ns // cs)],
         out_specs=_qTspec(tile, c),
         out_shape=jax.ShapeDtypeStruct((b, c, nqp), features.dtype),
@@ -203,7 +268,7 @@ def _sum_bwd(res, dy):
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_ispec(tile, k), _ispec(tile, k), _qTspec(tile, c),
+        in_specs=[_ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]), _qTspec(tile, c),
                   _flags_spec(ns // cs)],
         out_specs=_gspec(ns, c),
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
@@ -231,6 +296,7 @@ def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
     dT = dT_ref[0].astype(jnp.float32)  # [C, T]
     hmax_ref[...] = jnp.full(hmax_ref.shape, -_BIG, hmax_ref.dtype)
     hmin_ref[...] = jnp.full(hmin_ref.shape, _BIG, hmin_ref.dtype)
+    hi = _hi_slot(maskT_ref, k, t)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
@@ -239,20 +305,19 @@ def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
             gch = g_ref[0, pl.ds(start, cs), :]  # [cs, C]
             fprec = (_HI if gch.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-            # one wide one-hot + ONE matmul per chunk (per-slot matmuls
-            # are MXU-launch-bound); per-slot views are static slices.
-            # Mosaic's [K,T]->[1,K*T] reshape needs lane-aligned T.
             if t % 128 == 0:
-                ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
-                                         start)
-                gfW = _gather_T(ohW.astype(gch.dtype), gch, fprec)
-                hmax, hmin = hmax_ref[...], hmin_ref[...]
-                for kk in range(k):
-                    h = gfW[:, kk * t:(kk + 1) * t] - dT
-                    ink = inkW[:, kk * t:(kk + 1) * t]
-                    hmax = jnp.where(ink, jnp.maximum(hmax, h), hmax)
-                    hmin = jnp.where(ink, jnp.minimum(hmin, h), hmin)
-                hmax_ref[...], hmin_ref[...] = hmax, hmin
+                def body_fn(base, g, ohW, inkW):
+                    gfW = _gather_T(ohW.astype(gch.dtype), gch, fprec)
+                    hmax, hmin = hmax_ref[...], hmin_ref[...]
+                    for kk in range(g):
+                        h = gfW[:, kk * t:(kk + 1) * t] - dT
+                        ink = inkW[:, kk * t:(kk + 1) * t]
+                        hmax = jnp.where(ink, jnp.maximum(hmax, h), hmax)
+                        hmin = jnp.where(ink, jnp.minimum(hmin, h), hmin)
+                    hmax_ref[...], hmin_ref[...] = hmax, hmin
+
+                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                             body_fn)
             else:
                 def body(kk, _):
                     oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
@@ -265,7 +330,7 @@ def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
                         ink, jnp.minimum(hmin_ref[...], h), hmin_ref[...])
                     return 0
 
-                jax.lax.fori_loop(0, k, body, 0)
+                jax.lax.fori_loop(0, hi, body, 0)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -291,6 +356,8 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
     def _():
         dg_ref[0] = jnp.zeros_like(dg_ref[0])
 
+    hi = _hi_slot(maskT_ref, k, t)
+
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
@@ -298,25 +365,30 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
             gch = g_ref[0, pl.ds(start, cs), :]
             fprec = (_HI if gch.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
+            c = dT.shape[0]
             if t % 128 == 0:
-                ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
-                                         start)
-                ohWc = ohW.astype(gch.dtype)
-                gfW = _gather_T(ohWc, gch, fprec)  # [C, K*T]
-                parts = []
-                for kk in range(k):
-                    h = gfW[:, kk * t:(kk + 1) * t] - dT
-                    inkf = inkW[:, kk * t:(kk + 1) * t].astype(
-                        jnp.float32)
-                    contrib = inkf * ((h == hmax) * dmax
-                                      + (h == hmin) * dmin)  # [C, T]
-                    dd_ref[...] = dd_ref[...] - contrib
-                    parts.append(contrib.astype(gch.dtype))
-                dgW = jnp.concatenate(parts, axis=1)  # [C, K*T]
-                dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
-                    ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=fprec).astype(dg_ref.dtype)
+                def body_fn(base, g, ohW, inkW):
+                    ohWc = ohW.astype(gch.dtype)
+                    gfW = _gather_T(ohWc, gch, fprec)  # [C, G*T]
+                    parts = []
+                    for kk in range(g):
+                        h = gfW[:, kk * t:(kk + 1) * t] - dT
+                        inkf = inkW[:, kk * t:(kk + 1) * t].astype(
+                            jnp.float32)
+                        contrib = inkf * ((h == hmax) * dmax
+                                          + (h == hmin) * dmin)  # [C, T]
+                        dd_ref[...] = dd_ref[...] - contrib
+                        parts.append(contrib.astype(gch.dtype))
+                    dgW = (parts[0] if g == 1
+                           else jnp.concatenate(parts, axis=1))
+                    dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
+                        ohWc, dgW,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=fprec).astype(dg_ref.dtype)
+
+                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                             body_fn)
             else:
                 def body(kk, dg):
                     oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
@@ -333,8 +405,7 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32, precision=fprec)
 
-                c = dT.shape[0]
-                dg = jax.lax.fori_loop(0, k, body,
+                dg = jax.lax.fori_loop(0, hi, body,
                                        jnp.zeros((cs, c), jnp.float32))
                 dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
         return 0
@@ -385,8 +456,8 @@ def _mm_call(g, d, idx, mask):
     hmaxT, hminT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), _qTspec(tile, c), _ispec(tile, k),
-                  _ispec(tile, k), _flags_spec(ns // cs)],
+        in_specs=[_gspec(ns, c), _qTspec(tile, c), _ispec(tile, iT.shape[1]),
+                  _ispec(tile, iT.shape[1]), _flags_spec(ns // cs)],
         out_specs=(_qTspec(tile, c), _qTspec(tile, c)),
         out_shape=(
             jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
@@ -433,7 +504,7 @@ def _mm_bwd(res, dys):
     dg, ddT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), qT, _ispec(tile, k), _ispec(tile, k),
+        in_specs=[_gspec(ns, c), qT, _ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
                   qT, qT, qT, qT, _flags_spec(ns // cs)],
         out_specs=(_gspec(ns, c), qT),
         out_shape=(
@@ -481,6 +552,7 @@ def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
     cs = min(ns, _MAX_CS)
     trow = pl.program_id(1) % 8
     acc_ref[...] = jnp.full(acc_ref.shape, -_BIG, acc_ref.dtype)
+    hi = _hi_slot(maskT_ref, k, t)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
@@ -493,15 +565,17 @@ def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
             prec = (_HI if fch.dtype == jnp.float32
                     else jax.lax.Precision.DEFAULT)
             if t % 128 == 0:
-                ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
-                                         start)
-                gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
-                acc = acc_ref[...]
-                for kk in range(k):  # static lane slices, cheap maxes
-                    g = gW[:, kk * t:(kk + 1) * t]
-                    ink = inkW[:, kk * t:(kk + 1) * t]
-                    acc = jnp.maximum(acc, jnp.where(ink, g, -_BIG))
-                acc_ref[...] = acc
+                def body_fn(base, g, ohW, inkW):
+                    gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
+                    acc = acc_ref[...]
+                    for kk in range(g):  # static lane slices
+                        gf = gW[:, kk * t:(kk + 1) * t]
+                        ink = inkW[:, kk * t:(kk + 1) * t]
+                        acc = jnp.maximum(acc, jnp.where(ink, gf, -_BIG))
+                    acc_ref[...] = acc
+
+                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                             body_fn)
             else:
                 def body(kk, _):
                     oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
@@ -511,7 +585,7 @@ def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
                         acc_ref[...], jnp.where(ink, gfT, -_BIG))
                     return 0
 
-                jax.lax.fori_loop(0, k, body, 0)
+                jax.lax.fori_loop(0, hi, body, 0)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -533,6 +607,7 @@ def _max_fwd_arg_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref,
     trow = pl.program_id(1) % 8
     acc_ref[...] = jnp.full(acc_ref.shape, -_BIG, acc_ref.dtype)
     aacc_ref[...] = jnp.full(aacc_ref.shape, -1.0, aacc_ref.dtype)
+    hi = _hi_slot(maskT_ref, k, t)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
@@ -542,19 +617,21 @@ def _max_fwd_arg_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref,
             prec = (_HI if fch.dtype == jnp.float32
                     else jax.lax.Precision.DEFAULT)
             if t % 128 == 0:
-                ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
-                                         start)
-                gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
-                acc, aarg = acc_ref[...], aacc_ref[...]
-                for kk in range(k):
-                    g = gW[:, kk * t:(kk + 1) * t]
-                    ink = inkW[:, kk * t:(kk + 1) * t]
-                    gid = (ci * k + kk).astype(jnp.float32)
-                    win = ink & (g > acc)
-                    acc = jnp.where(win, g, acc)
-                    aarg = jnp.where(win, gid, aarg)
-                acc_ref[...] = acc
-                aacc_ref[...] = aarg
+                def body_fn(base, g, ohW, inkW):
+                    gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
+                    acc, aarg = acc_ref[...], aacc_ref[...]
+                    for kk in range(g):
+                        gf = gW[:, kk * t:(kk + 1) * t]
+                        ink = inkW[:, kk * t:(kk + 1) * t]
+                        gid = (ci * k + base + kk).astype(jnp.float32)
+                        win = ink & (gf > acc)
+                        acc = jnp.where(win, gf, acc)
+                        aarg = jnp.where(win, gid, aarg)
+                    acc_ref[...] = acc
+                    aacc_ref[...] = aarg
+
+                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                             body_fn)
             else:
                 def body(kk, _):
                     oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
@@ -566,7 +643,7 @@ def _max_fwd_arg_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref,
                     aacc_ref[...] = jnp.where(win, gid, aacc_ref[...])
                     return 0
 
-                jax.lax.fori_loop(0, k, body, 0)
+                jax.lax.fori_loop(0, hi, body, 0)
         return 0
 
     jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
@@ -590,26 +667,33 @@ def _max_bwd_kernel(idxT_ref, maskT_ref, argT_ref, dyT_ref,
     prec = _HI if mdt == jnp.float32 else jax.lax.Precision.DEFAULT
     dy = dyT_ref[0].astype(mdt)  # [C, T]
     aarg = argT_ref[0]  # [C, T] f32 global winning slot ids
+    hi = _hi_slot(maskT_ref, k, t)
 
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
             if t % 128 == 0:
-                ohW, _ = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
-                                      start)
-                ohWc = ohW.astype(mdt)
-                # winner ids are globally unique, so one compare routes
-                # the cotangent; slots won by other chunks match nothing
-                parts = []
-                for kk in range(k):
-                    gid = (ci * k + kk).astype(jnp.float32)
-                    parts.append(dy * (aarg == gid).astype(mdt))
-                dgW = jnp.concatenate(parts, axis=1)  # [C, K*T]
-                dfeats_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
-                    ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec).astype(dfeats_ref.dtype)
+                def body_fn(base, g, ohW, inkW):
+                    ohWc = ohW.astype(mdt)
+                    # winner ids are globally unique, so one compare
+                    # routes the cotangent; slots won by other chunks
+                    # match nothing
+                    parts = []
+                    for kk in range(g):
+                        gid = (ci * k + base + kk).astype(jnp.float32)
+                        parts.append(dy * (aarg == gid).astype(mdt))
+                    dgW = (parts[0] if g == 1
+                           else jnp.concatenate(parts, axis=1))
+                    dfeats_ref[0, pl.ds(start, cs), :] += (
+                        jax.lax.dot_general(
+                            ohWc, dgW,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec).astype(dfeats_ref.dtype))
+
+                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                             body_fn)
             else:
                 def body(kk, df):
                     oh, _ = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
@@ -621,8 +705,8 @@ def _max_bwd_kernel(idxT_ref, maskT_ref, argT_ref, dyT_ref,
                         preferred_element_type=jnp.float32, precision=prec)
 
                 df = jax.lax.fori_loop(
-                    0, k, body, jnp.zeros((cs, dfeats_ref.shape[2]),
-                                          jnp.float32))
+                    0, hi, body, jnp.zeros((cs, dfeats_ref.shape[2]),
+                                           jnp.float32))
                 dfeats_ref[0, pl.ds(start, cs), :] += df.astype(
                     dfeats_ref.dtype)
         return 0
@@ -665,7 +749,7 @@ def _max_call(features, idx, mask):
     outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+        in_specs=[_gspec(ns, c), _ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
                   _flags_spec(ns // cs)],
         out_specs=_qTspec(tile, c),
         out_shape=jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
@@ -694,7 +778,7 @@ def _max_fwd(features, idx, mask):
     outT, argT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), _ispec(tile, k), _ispec(tile, k),
+        in_specs=[_gspec(ns, c), _ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
                   _flags_spec(ns // cs)],
         out_specs=(_qTspec(tile, c), _qTspec(tile, c)),
         out_shape=(jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
@@ -729,7 +813,7 @@ def _max_bwd(res, dy):
     dfeats = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_ispec(tile, k), _ispec(tile, k),
+        in_specs=[_ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
                   _qTspec(tile, c), _qTspec(tile, c),
                   _flags_spec(ns // cs)],
         out_specs=_gspec(ns, c),
@@ -799,7 +883,7 @@ def _needs_fold(nq: int, b: int) -> bool:
 def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
                         max_ref, min_ref, s1_ref, s2_ref, amax_ref,
                         amin_ref, hmax_ref, hmin_ref, s1a_ref, s2a_ref,
-                        amaxa_ref, amina_ref, *, k: int, ns: int):
+                        amaxa_ref, amina_ref, m_ref, *, k: int, ns: int):
     t = idxT_ref.shape[2]
     cs = min(ns, _MAX_CS)
     trow = pl.program_id(1) % 8
@@ -810,6 +894,8 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
     amaxa_ref[...] = jnp.full(amaxa_ref.shape, -1.0, amaxa_ref.dtype)
     amina_ref[...] = jnp.full(amina_ref.shape, -1.0, amina_ref.dtype)
 
+    hi = _hi_slot(maskT_ref, k, t)
+
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
@@ -818,34 +904,42 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
             qch = gsq_ref[0, pl.ds(start, cs), :]
             fprec = (_HI if gch.dtype == jnp.float32
                      else jax.lax.Precision.DEFAULT)
-            ohW, inkW = _wide_onehot(idxT_ref, maskT_ref, k, cs, t,
-                                     start)
-            ohWc = ohW.astype(gch.dtype)
-            gfW = _gather_T(ohWc, gch, fprec)  # [C, K*T] f32
-            hmax, hmin = hmax_ref[...], hmin_ref[...]
-            amax, amin = amaxa_ref[...], amina_ref[...]
-            s1 = s1a_ref[...]
-            m = ohWc[:, 0:t]
-            for kk in range(1, k):
-                m = m + ohWc[:, kk * t:(kk + 1) * t]
-            for kk in range(k):
-                gf = gfW[:, kk * t:(kk + 1) * t]
-                ink = inkW[:, kk * t:(kk + 1) * t]
-                gid = (ci * k + kk).astype(jnp.float32)
-                # strict compares keep the FIRST extremum: the winning
-                # global slot id is what the backward routes by
-                winx = ink & (gf > hmax)
-                hmax = jnp.where(winx, gf, hmax)
-                amax = jnp.where(winx, gid, amax)
-                winn = ink & (gf < hmin)
-                hmin = jnp.where(winn, gf, hmin)
-                amin = jnp.where(winn, gid, amin)
-                s1 = s1 + gf  # one-hot is masked: invalid slots add 0
-            hmax_ref[...], hmin_ref[...] = hmax, hmin
-            amaxa_ref[...], amina_ref[...] = amax, amin
-            s1a_ref[...] = s1
+            def body_fn(base, g, ohW, inkW):
+                ohWc = ohW.astype(gch.dtype)
+                gfW = _gather_T(ohWc, gch, fprec)  # [C, G*T] f32
+                hmax, hmin = hmax_ref[...], hmin_ref[...]
+                amax, amin = amaxa_ref[...], amina_ref[...]
+                s1 = s1a_ref[...]
+                m = ohWc[:, 0:t]
+                for kk in range(g):
+                    gf = gfW[:, kk * t:(kk + 1) * t]
+                    ink = inkW[:, kk * t:(kk + 1) * t]
+                    gid = (ci * k + base + kk).astype(jnp.float32)
+                    # strict compares keep the FIRST extremum: the
+                    # winning global slot id routes the backward
+                    winx = ink & (gf > hmax)
+                    hmax = jnp.where(winx, gf, hmax)
+                    amax = jnp.where(winx, gid, amax)
+                    winn = ink & (gf < hmin)
+                    hmin = jnp.where(winn, gf, hmin)
+                    amin = jnp.where(winn, gid, amin)
+                    s1 = s1 + gf  # masked one-hot: invalid adds 0
+                    if kk:
+                        m = m + ohWc[:, kk * t:(kk + 1) * t]
+                hmax_ref[...], hmin_ref[...] = hmax, hmin
+                amaxa_ref[...], amina_ref[...] = amax, amin
+                s1a_ref[...] = s1
+                if base == 0:  # first call per chunk: scratch reset
+                    m_ref[...] = m.astype(m_ref.dtype)
+                else:
+                    m_ref[...] += m.astype(m_ref.dtype)
+
+            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                         body_fn)
+            # ONE s2 matmul per chunk over the accumulated multi-hot
             s2a_ref[...] = s2a_ref[...] + jax.lax.dot_general(
-                qch, m, dimension_numbers=(((0,), (0,)), ((), ())),
+                qch, m_ref[...].astype(qch.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=fprec)
         return 0
 
@@ -860,7 +954,8 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
 
 def _pwstats_bwd_kernel(idxT_ref, maskT_ref, amaxT_ref, aminT_ref,
                         dmaxT_ref, dminT_ref, ds1T_ref, ds2T_ref,
-                        flags_ref, dg_ref, dq_ref, *, k: int, ns: int):
+                        flags_ref, dg_ref, dq_ref, m_ref, *, k: int,
+                        ns: int):
     tile = pl.program_id(1)
     t = idxT_ref.shape[2]
     cs = min(ns, _MAX_CS)
@@ -877,33 +972,46 @@ def _pwstats_bwd_kernel(idxT_ref, maskT_ref, amaxT_ref, aminT_ref,
         dg_ref[0] = jnp.zeros_like(dg_ref[0])
         dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
+    hi = _hi_slot(maskT_ref, k, t)
+
     def chunk_body(ci, _):
         @pl.when(_flag(flags_ref, trow, ci) != 0)
         def _():
             start = ci * cs
-            ohW, _ = _wide_onehot(idxT_ref, maskT_ref, k, cs, t, start)
-            ohWc = ohW.astype(mdt)
-            m = ohWc[:, 0:t]
-            for kk in range(1, k):
-                m = m + ohWc[:, kk * t:(kk + 1) * t]
-            # winner ids are globally unique: one compare per extremum
-            # routes the cotangent — no feature re-gather needed
-            parts = []
-            for kk in range(k):
-                gid = (ci * k + kk).astype(jnp.float32)
-                contrib = (dmax * (amax == gid).astype(mdt)
-                           + dmin * (amin == gid).astype(mdt))
-                parts.append(contrib)
-            dgW = jnp.concatenate(parts, axis=1)  # [C, K*T]
             ds1 = ds1T_ref[0].astype(mdt)  # [C, T]
             ds2 = ds2T_ref[0].astype(mdt)
-            dg = jax.lax.dot_general(
-                ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=fprec)
-            dg = dg + jax.lax.dot_general(
+
+            def body_fn(base, g, ohW, inkW):
+                ohWc = ohW.astype(mdt)
+                # winner ids are globally unique: one compare per
+                # extremum routes the cotangent — no feature re-gather
+                parts = []
+                m = ohWc[:, 0:t]
+                for kk in range(g):
+                    gid = (ci * k + base + kk).astype(jnp.float32)
+                    contrib = (dmax * (amax == gid).astype(mdt)
+                               + dmin * (amin == gid).astype(mdt))
+                    parts.append(contrib)
+                    if kk:
+                        m = m + ohWc[:, kk * t:(kk + 1) * t]
+                dgW = (parts[0] if g == 1
+                       else jnp.concatenate(parts, axis=1))
+                dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
+                    ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=fprec).astype(dg_ref.dtype)
+                if base == 0:  # first call per chunk: scratch reset
+                    m_ref[...] = m
+                else:
+                    m_ref[...] += m
+
+            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                         body_fn)
+            m = m_ref[...]
+            dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
                 m, ds1, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=fprec)
-            dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
+                preferred_element_type=jnp.float32,
+                precision=fprec).astype(dg_ref.dtype)
             dq_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
                 m, ds2, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -935,14 +1043,15 @@ def _pwstats_call(g, gsq, idx, mask):
     outs = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_gspec(ns, c), _gspec(ns, c), _ispec(tile, k),
-                  _ispec(tile, k), _flags_spec(ns // cs)],
+        in_specs=[_gspec(ns, c), _gspec(ns, c), _ispec(tile, iT.shape[1]),
+                  _ispec(tile, iT.shape[1]), _flags_spec(ns // cs)],
         out_specs=(qT, qT, qT, qT, qT, qT),
         out_shape=tuple(
             jax.ShapeDtypeStruct((b, c, nqp), jnp.float32)
             for _ in range(6)),
         scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)
-                        for _ in range(6)],
+                        for _ in range(6)]
+        + [pltpu.VMEM((cs, tile), g.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -981,13 +1090,14 @@ def _pwstats_bwd(res, dys):
     dg, dq = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[_ispec(tile, k), _ispec(tile, k),
+        in_specs=[_ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
                   qT, qT, qT, qT, qT, qT, _flags_spec(ns // cs)],
         out_specs=(_gspec(ns, c), _gspec(ns, c)),
         out_shape=(
             jax.ShapeDtypeStruct((b, ns, c), g.dtype),
             jax.ShapeDtypeStruct((b, ns, c), g.dtype),
         ),
+        scratch_shapes=[pltpu.VMEM((cs, tile), g.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
