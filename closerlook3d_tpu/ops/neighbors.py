@@ -27,20 +27,18 @@ def pairwise_dist2(
 ) -> jax.Array:
     """Squared euclidean distances ``[B, Nq, Ns]`` between point sets.
 
-    Uses the expansion |q-s|^2 = |q|^2 + |s|^2 - 2 q.s (cross term is a
-    batched matmul -> MXU). Clamped at 0 to absorb rounding negatives.
+    Direct outer-difference form Σ_d (q_d - s_d)^2, which is what the
+    reference CUDA kernels compute per pair and what the Pallas kernels
+    compute on the VPU. The expanded |q|^2 + |s|^2 - 2 q.s form loses
+    ~5 bits to cancellation at |Δ| ≪ |q| and mis-orders near-ties
+    relative to the kernels (observed at S3DIS scale: pairs 6e-7 apart
+    in a 4 m room swap rank). XLA fuses the trailing-3 reduction, so no
+    [B, Nq, Ns, 3] intermediate materializes under jit.
     """
     q = query_xyz.astype(jnp.float32)
     s = support_xyz.astype(jnp.float32)
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # [B, Nq, 1]
-    s2 = jnp.sum(s * s, axis=-1, keepdims=True)  # [B, Ns, 1]
-    # HIGHEST: the MXU's default bf16 passes lose ~1e-3, which corrupts
-    # nearest-neighbor selection and self-distance zeros.
-    cross = jnp.einsum(
-        "bnd,bmd->bnm", q, s, precision=jax.lax.Precision.HIGHEST
-    )  # [B, Nq, Ns]
-    d2 = q2 + jnp.swapaxes(s2, -1, -2) - 2.0 * cross
-    return jnp.maximum(d2, 0.0)
+    diff = q[..., :, None, :] - s[..., None, :, :]  # [B, Nq, Ns, 3]
+    return jnp.sum(diff * diff, axis=-1)
 
 
 def _topk_neighbors(

@@ -31,9 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
-    _chunk_flags,
-    _flag,
-    _flags_spec,
+    _chunk_lists,
+    _lists_spec,
     _gather_T,
     _hi_slot,
     _interpret,
@@ -51,7 +50,7 @@ _HI = jax.lax.Precision.HIGHEST
 _BIG = 3e38  # python float: jnp constants may not be closure-captured
 
 
-_KG = 8  # slot-group width for the grouped wide-onehot kernels
+_KG = int(os.environ.get("CL3D_KG", "8"))  # slot-group width for the grouped wide-onehot kernels
 
 
 def _prep_iq(idx, mask, tile):
@@ -150,8 +149,9 @@ def _sum_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
     trow = pl.program_id(1) % 8
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
@@ -164,9 +164,10 @@ def _sum_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
                 fch, m.astype(fch.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=fprec)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
@@ -185,8 +186,9 @@ def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, flags_ref, dfeats_ref,
     dprec = (_HI if dy.dtype == jnp.float32
              else jax.lax.Precision.DEFAULT)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
@@ -195,9 +197,10 @@ def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, flags_ref, dfeats_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=dprec)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
 
 
 def neighborhood_sum(features, idx, mask):
@@ -234,7 +237,7 @@ def _sum_call(features, idx, mask):
         kern,
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), _ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
-                  _flags_spec(ns // cs)],
+                  _lists_spec(ns // cs)],
         out_specs=_qTspec(tile, c),
         out_shape=jax.ShapeDtypeStruct((b, c, nqp), features.dtype),
         scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)],
@@ -242,7 +245,7 @@ def _sum_call(features, idx, mask):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(features, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    )(features, iT, mT, _chunk_lists(idx, mask, tile, cs, ns // cs))
     return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
@@ -269,14 +272,14 @@ def _sum_bwd(res, dy):
         kern,
         grid=(b, ntile),
         in_specs=[_ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]), _qTspec(tile, c),
-                  _flags_spec(ns // cs)],
+                  _lists_spec(ns // cs)],
         out_specs=_gspec(ns, c),
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(iT, mT, dyT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    )(iT, mT, dyT, _chunk_lists(idx, mask, tile, cs, ns // cs))
     return dfeats[:, :ns0], None, None
 
 
@@ -298,8 +301,9 @@ def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
     hmin_ref[...] = jnp.full(hmin_ref.shape, _BIG, hmin_ref.dtype)
     hi = _hi_slot(maskT_ref, k, t)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             gch = g_ref[0, pl.ds(start, cs), :]  # [cs, C]
@@ -331,9 +335,10 @@ def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
                     return 0
 
                 jax.lax.fori_loop(0, hi, body, 0)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
     max_ref[0] = hmax_ref[...].astype(max_ref.dtype)
     min_ref[0] = hmin_ref[...].astype(min_ref.dtype)
 
@@ -358,8 +363,9 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
 
     hi = _hi_slot(maskT_ref, k, t)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             gch = g_ref[0, pl.ds(start, cs), :]
@@ -408,9 +414,10 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
                 dg = jax.lax.fori_loop(0, hi, body,
                                        jnp.zeros((cs, c), jnp.float32))
                 dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
     ddT_ref[0] = dd_ref[...].astype(ddT_ref.dtype)
 
 
@@ -457,7 +464,7 @@ def _mm_call(g, d, idx, mask):
         kern,
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), _qTspec(tile, c), _ispec(tile, iT.shape[1]),
-                  _ispec(tile, iT.shape[1]), _flags_spec(ns // cs)],
+                  _ispec(tile, iT.shape[1]), _lists_spec(ns // cs)],
         out_specs=(_qTspec(tile, c), _qTspec(tile, c)),
         out_shape=(
             jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
@@ -469,7 +476,7 @@ def _mm_call(g, d, idx, mask):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(g, dT, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    )(g, dT, iT, mT, _chunk_lists(idx, mask, tile, cs, ns // cs))
     return (jnp.swapaxes(hmaxT, 1, 2)[:, :nq0],
             jnp.swapaxes(hminT, 1, 2)[:, :nq0])
 
@@ -505,7 +512,7 @@ def _mm_bwd(res, dys):
         kern,
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), qT, _ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
-                  qT, qT, qT, qT, _flags_spec(ns // cs)],
+                  qT, qT, qT, qT, _lists_spec(ns // cs)],
         out_specs=(_gspec(ns, c), qT),
         out_shape=(
             jax.ShapeDtypeStruct((b, ns, c), g.dtype),
@@ -517,7 +524,7 @@ def _mm_bwd(res, dys):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(g, dT, iT, mT, hmaxT, hminT, dmaxT, dminT,
-      _chunk_flags(idx, mask, tile, cs, ns // cs))
+      _chunk_lists(idx, mask, tile, cs, ns // cs))
     return dg[:, :ns0], jnp.swapaxes(ddT, 1, 2)[:, :nq], None, None
 
 
@@ -554,8 +561,9 @@ def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
     acc_ref[...] = jnp.full(acc_ref.shape, -_BIG, acc_ref.dtype)
     hi = _hi_slot(maskT_ref, k, t)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             fch = feats_ref[0, pl.ds(start, cs), :]
@@ -586,9 +594,10 @@ def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
                     return 0
 
                 jax.lax.fori_loop(0, hi, body, 0)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
     # empty neighborhoods -> 0 (ops/grouping.masked_max convention)
     cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0, keepdims=True)
     out_ref[0] = jnp.where(cnt > 0, acc_ref[...], 0.0)
@@ -609,8 +618,9 @@ def _max_fwd_arg_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref,
     aacc_ref[...] = jnp.full(aacc_ref.shape, -1.0, aacc_ref.dtype)
     hi = _hi_slot(maskT_ref, k, t)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             fch = feats_ref[0, pl.ds(start, cs), :]
@@ -644,9 +654,10 @@ def _max_fwd_arg_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref,
                     return 0
 
                 jax.lax.fori_loop(0, hi, body, 0)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
     cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0, keepdims=True)
     out_ref[0] = jnp.where(cnt > 0, acc_ref[...], 0.0)
     arg_ref[0] = aacc_ref[...]
@@ -669,8 +680,9 @@ def _max_bwd_kernel(idxT_ref, maskT_ref, argT_ref, dyT_ref,
     aarg = argT_ref[0]  # [C, T] f32 global winning slot ids
     hi = _hi_slot(maskT_ref, k, t)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             if t % 128 == 0:
@@ -709,9 +721,10 @@ def _max_bwd_kernel(idxT_ref, maskT_ref, argT_ref, dyT_ref,
                                            jnp.float32))
                 dfeats_ref[0, pl.ds(start, cs), :] += df.astype(
                     dfeats_ref.dtype)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
 
 
 def neighborhood_max(features, idx, mask):
@@ -750,7 +763,7 @@ def _max_call(features, idx, mask):
         kern,
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), _ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
-                  _flags_spec(ns // cs)],
+                  _lists_spec(ns // cs)],
         out_specs=_qTspec(tile, c),
         out_shape=jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((c, tile), jnp.float32)],
@@ -758,7 +771,7 @@ def _max_call(features, idx, mask):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(features, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    )(features, iT, mT, _chunk_lists(idx, mask, tile, cs, ns // cs))
     return jnp.swapaxes(outT, 1, 2)[:, :nq0].astype(dtype), outT
 
 
@@ -779,7 +792,7 @@ def _max_fwd(features, idx, mask):
         kern,
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), _ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
-                  _flags_spec(ns // cs)],
+                  _lists_spec(ns // cs)],
         out_specs=(_qTspec(tile, c), _qTspec(tile, c)),
         out_shape=(jax.ShapeDtypeStruct((b, c, nqp), jnp.float32),
                    jax.ShapeDtypeStruct((b, c, nqp), jnp.float32)),
@@ -789,7 +802,7 @@ def _max_fwd(features, idx, mask):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(fp, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    )(fp, iT, mT, _chunk_lists(idx, mask, tile, cs, ns // cs))
     out = jnp.swapaxes(outT, 1, 2)[:, :nq0].astype(dtype)
     # features rides along only for its static shape/dtype — the bwd
     # kernel never reads it (argmax routing), so no HBM traffic
@@ -815,7 +828,7 @@ def _max_bwd(res, dy):
         grid=(b, ntile),
         in_specs=[_ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
                   _qTspec(tile, c), _qTspec(tile, c),
-                  _flags_spec(ns // cs)],
+                  _lists_spec(ns // cs)],
         out_specs=_gspec(ns, c),
         out_shape=jax.ShapeDtypeStruct((b, ns, c), fdtype),
         compiler_params=pltpu.CompilerParams(
@@ -823,7 +836,7 @@ def _max_bwd(res, dy):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(iT, mT, argT, dyT,
-      _chunk_flags(idx, mask, tile, cs, ns // cs))
+      _chunk_lists(idx, mask, tile, cs, ns // cs))
     return dfeats[:, :ns0], None, None
 
 
@@ -896,8 +909,9 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
 
     hi = _hi_slot(maskT_ref, k, t)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             gch = g_ref[0, pl.ds(start, cs), :]
@@ -941,9 +955,10 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
                 qch, m_ref[...].astype(qch.dtype),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=fprec)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
     max_ref[0] = hmax_ref[...]
     min_ref[0] = hmin_ref[...]
     s1_ref[0] = s1a_ref[...]
@@ -974,8 +989,9 @@ def _pwstats_bwd_kernel(idxT_ref, maskT_ref, amaxT_ref, aminT_ref,
 
     hi = _hi_slot(maskT_ref, k, t)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             ds1 = ds1T_ref[0].astype(mdt)  # [C, T]
@@ -1016,9 +1032,10 @@ def _pwstats_bwd_kernel(idxT_ref, maskT_ref, amaxT_ref, aminT_ref,
                 m, ds2, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=fprec).astype(dq_ref.dtype)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
 
 
 @jax.custom_vjp
@@ -1044,7 +1061,7 @@ def _pwstats_call(g, gsq, idx, mask):
         kern,
         grid=(b, ntile),
         in_specs=[_gspec(ns, c), _gspec(ns, c), _ispec(tile, iT.shape[1]),
-                  _ispec(tile, iT.shape[1]), _flags_spec(ns // cs)],
+                  _ispec(tile, iT.shape[1]), _lists_spec(ns // cs)],
         out_specs=(qT, qT, qT, qT, qT, qT),
         out_shape=tuple(
             jax.ShapeDtypeStruct((b, c, nqp), jnp.float32)
@@ -1056,7 +1073,7 @@ def _pwstats_call(g, gsq, idx, mask):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(g, gsq, iT, mT, _chunk_flags(idx, mask, tile, cs, ns // cs))
+    )(g, gsq, iT, mT, _chunk_lists(idx, mask, tile, cs, ns // cs))
     return (tuple(jnp.swapaxes(o, 1, 2)[:, :nq0] for o in outs[:4]),
             (outs[4], outs[5]))
 
@@ -1091,7 +1108,7 @@ def _pwstats_bwd(res, dys):
         kern,
         grid=(b, ntile),
         in_specs=[_ispec(tile, iT.shape[1]), _ispec(tile, iT.shape[1]),
-                  qT, qT, qT, qT, qT, qT, _flags_spec(ns // cs)],
+                  qT, qT, qT, qT, qT, qT, _lists_spec(ns // cs)],
         out_specs=(_gspec(ns, c), _gspec(ns, c)),
         out_shape=(
             jax.ShapeDtypeStruct((b, ns, c), g.dtype),
@@ -1103,7 +1120,7 @@ def _pwstats_bwd(res, dys):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(iT, mT, amaxT, aminT, dmaxT, dminT, ds1T, ds2T,
-      _chunk_flags(idx, mask, tile, cs, ns // cs))
+      _chunk_lists(idx, mask, tile, cs, ns // cs))
     return dg[:, :ns0], dq[:, :ns0], None, None
 
 

@@ -30,10 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
-    _chunk_flags,
-    _flag,
+    _chunk_lists,
     _common_specs,
-    _flags_spec,
+    _lists_spec,
     _interpret,
     _multi_hot_chunk,
     _pad_queries,
@@ -58,8 +57,9 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     cnt_ref[...] = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
                            keepdims=True)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
@@ -82,9 +82,10 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=fprec))
             acc_ref[...] = acc_ref[...] + jnp.concatenate(outs, axis=0)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
     acc = acc_ref[...]
     if reduction == "avg":
         acc = acc / jnp.maximum(cnt_ref[...], 1.0)
@@ -116,8 +117,9 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
                / jnp.maximum(cnt, 1.0)).astype(dy0.dtype)
         del cnt_ref
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
@@ -135,9 +137,10 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=dprec)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
 
 
 def neighborhood_moments(query_xyz, support_xyz, features, idx, mask,
@@ -188,7 +191,7 @@ def _call(query_xyz, support_xyz, features, idx, mask, radius, reduction):
     outT = pl.pallas_call(
         kern,
         grid=(b, ntile),
-        in_specs=[qspec, sspec, fspec, ispec, ispec, _flags_spec(ns // cs)],
+        in_specs=[qspec, sspec, fspec, ispec, ispec, _lists_spec(ns // cs)],
         out_specs=oTspec,
         out_shape=jax.ShapeDtypeStruct((b, 4 * c, nqp), features.dtype),
         scratch_shapes=[pltpu.VMEM((4 * c, tile), jnp.float32),
@@ -198,7 +201,7 @@ def _call(query_xyz, support_xyz, features, idx, mask, radius, reduction):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(qT, support_xyz.astype(jnp.float32), features, iT, mT,
-      _chunk_flags(idx, mask, tile, cs, ns // cs))
+      _chunk_lists(idx, mask, tile, cs, ns // cs))
     return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
@@ -232,7 +235,7 @@ def _bwd(radius, reduction, res, dy):
         kern,
         grid=(b, ntile),
         in_specs=[qspec, sspec, ispec, ispec, dyspec,
-                  _flags_spec(ns // cs)],
+                  _lists_spec(ns // cs)],
         out_specs=fspec,
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
         scratch_shapes=[pltpu.VMEM((1, tile), jnp.float32)],
@@ -241,7 +244,7 @@ def _bwd(radius, reduction, res, dy):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(qT, support_xyz.astype(jnp.float32), iT, mT, dyT,
-      _chunk_flags(idx, mask, tile, cs, ns // cs))
+      _chunk_lists(idx, mask, tile, cs, ns // cs))
     return (jnp.zeros_like(query_xyz),
             jnp.zeros((b, ns0, 3), query_xyz.dtype),
             dfeats[:, :ns0], None, None)

@@ -23,6 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _interpret,
+    _pack_chunk_lists,
     _pad_queries,
     _tile_for,
 )
@@ -36,13 +37,12 @@ def _bq_kernel(qxyz_ref, sxyzt_ref, qmask_ref, smask_ref, idx_ref,
     t = qxyz_ref.shape[1]
     q = qxyz_ref[0]  # [T, 3] f32
     st = sxyzt_ref[0]  # [3, Ns] f32
-    # d2 = |q|^2 + |s|^2 - 2 q.s  (cross term on the MXU)
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
-    s2 = jnp.sum(st * st, axis=0, keepdims=True)  # [1, Ns]
-    cross = jax.lax.dot_general(
-        q, st, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)  # [T, Ns]
-    d2 = jnp.maximum(q2 + s2 - 2.0 * cross, 0.0)
+    # exact f32 outer-difference on the VPU: the 3-wide MXU contraction
+    # pads to 128 and runs 6 HIGHEST passes — ~5x the work
+    d2 = None
+    for d in range(3):
+        diff = q[:, d:d + 1] - st[d:d + 1, :]  # [T, Ns]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
     d2 = d2 + jnp.where(smask_ref[0], 0.0, _BIG)  # [1, Ns] broadcast
 
     iota_ns = jax.lax.broadcasted_iota(jnp.int32, (t, ns), 1)
@@ -50,8 +50,12 @@ def _bq_kernel(qxyz_ref, sxyzt_ref, qmask_ref, smask_ref, idx_ref,
     r2 = radius * radius
     qvalid = qmask_ref[0]  # [T, 1] bool
 
-    def body(kk, carry):
-        d2, out_idx, out_valid = carry
+    def cond(carry):
+        kk, go, *_ = carry
+        return (kk < k) & go
+
+    def body(carry):
+        kk, _, d2, out_idx, out_valid = carry
         dmin = jnp.min(d2, axis=1, keepdims=True)  # [T, 1]
         # first (lowest-index) argmin, as the jnp top_k tiebreak
         cand = jnp.where(d2 == dmin, iota_ns, ns)
@@ -61,13 +65,18 @@ def _bq_kernel(qxyz_ref, sxyzt_ref, qmask_ref, smask_ref, idx_ref,
         out_idx = out_idx + cur * sel_k
         out_valid = out_valid + ok * sel_k  # int32 carry: bool carries
         d2 = jnp.where(iota_ns == cur, _BIG, d2)  # fail scf legalization
-        return d2, out_idx, out_valid
+        # EXACT early exit: once no query has an in-radius minimum,
+        # every later slot is invalid and gets shadow-padded to slot 0
+        # anyway — extracting it cannot change any output
+        go = jnp.any(dmin <= r2)
+        return kk + 1, go, d2, out_idx, out_valid
 
-    # fori_loop (not unrolled): Mosaic keeps every unrolled iteration's
+    # while (not unrolled): Mosaic keeps every unrolled iteration's
     # [T, Ns] temporaries live on the VMEM stack otherwise
-    d2, out_idx, out_valid = jax.lax.fori_loop(
-        0, k, body,
-        (d2, jnp.zeros((t, k), jnp.int32), jnp.zeros((t, k), jnp.int32)))
+    _, _, d2, out_idx, out_valid = jax.lax.while_loop(
+        cond, body,
+        (0, True, d2, jnp.zeros((t, k), jnp.int32),
+         jnp.zeros((t, k), jnp.int32)))
     out_valid = out_valid != 0
     # shadow-pad invalid slots with the nearest neighbor's index (slot 0)
     first = out_idx[:, 0:1]
@@ -120,7 +129,7 @@ def ball_query_pallas(query_xyz, support_xyz, radius: float, nsample: int,
             jax.ShapeDtypeStruct((b, qp.shape[1], nsample), jnp.bool_),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(qp, sxt, qmp, smp)
@@ -172,53 +181,53 @@ def _bq_bbox_flags(qp, qmp, sp, smp, tile: int, cs: int, radius: float):
     return flags
 
 
-def _bq_chunked_kernel(qxyz_ref, saug_ref, qmask_ref, flags_ref,
+def _bq_chunked_kernel(qxyzT_ref, sxyz_ref, qmaskT_ref, flags_ref,
                        idx_ref, nmask_ref, rd2_ref, ridx_ref,
                        *, k: int, cs: int, nchunks: int, radius: float):
-    t = qxyz_ref.shape[1]
-    q = qxyz_ref[0]  # [T, 3] f32
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)  # [T, 1]
-    qaug = jnp.concatenate([q, jnp.ones((t, 1), jnp.float32)], axis=1)
-    trow = pl.program_id(1) % 8
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
-    # the running list rides in a full 128-lane group so the merge
-    # concat [rd2pad | d2c] is alignment-preserving — the k-lane offset
-    # otherwise relayouts the whole [T, cs] chunk block every merge
-    kp = 128
-    w = kp + cs
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (t, w), 1)
-    rd2_ref[...] = jnp.full((t, k), _BIG, jnp.float32)
-    ridx_ref[...] = jnp.zeros((t, k), jnp.int32)
+    """Transposed orientation (slots on sublanes, queries on lanes).
 
-    def chunk_body(ci, _):
-        @pl.when(flags_ref[0, trow, ci] != 0)
+    Distances are [cs, T] VPU outer-differences — a 4-wide MXU
+    contraction pads to 128 and runs 6 HIGHEST passes, ~5x the work —
+    and the running list is [KP, T] with KP = k rounded to the f32
+    sublane granule (8), so the merge concat needs no 128-lane-group
+    padding at all (w = KP+cs vs 128+cs).
+    """
+    t = qxyzT_ref.shape[2]
+    qT = qxyzT_ref[0]  # [3, T] f32
+    trow = pl.program_id(1) % 8
+    kp = (k + 7) // 8 * 8
+    w = kp + cs
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (kp, t), 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, t), 0)
+    rd2_ref[...] = jnp.full((kp, t), _BIG, jnp.float32)
+    ridx_ref[...] = jnp.zeros((kp, t), jnp.int32)
+
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
-            sa = saug_ref[0, pl.ds(start, cs), :]  # [cs, 4]
-            # d2 = |q|^2 + (-2 q.s + |s|^2); cross term on the MXU
-            d2c = q2 + jax.lax.dot_general(
-                qaug, sa, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
-            d2c = jnp.maximum(d2c, 0.0)  # [T, cs]
+            sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+            d2c = None  # exact f32 outer-difference, all VPU
+            for d in range(3):
+                diff = sx[:, d:d + 1] - qT[d:d + 1, :]  # [cs, T]
+                d2c = diff * diff if d2c is None else d2c + diff * diff
             r2 = radius * radius
             # per-query best candidate this chunk; bbox pruning is a
             # lower bound, so chunks can pass the flag yet hold nothing
             # in radius for any query -> skip the merge outright
-            cmin = jnp.min(d2c, axis=1, keepdims=True)  # [T, 1]
+            cmin = jnp.min(d2c, axis=0, keepdims=True)  # [1, T]
 
             @pl.when(jnp.min(cmin) <= r2)
             def _merge():
-                rd2 = rd2_ref[...]
-                prev_i = ridx_ref[...]  # [T, K]
-                rd2p = jnp.concatenate(
-                    [rd2, jnp.full((t, kp - k), _BIG, jnp.float32)],
-                    axis=1)  # [T, kp]
-                comb_d = jnp.concatenate([rd2p, d2c], axis=1)
+                rd2 = rd2_ref[...]  # [KP, T]
+                prev_i = ridx_ref[...]
+                comb_d = jnp.concatenate([rd2, d2c], axis=0)  # [w, T]
                 # running-list prefix already better than anything this
                 # chunk offers keeps its slots: skip those passes (cuts
                 # the re-extraction cost from ~K per chunk to ~#new)
                 keep = jnp.min(
-                    jnp.sum((rd2 < cmin).astype(jnp.int32), axis=1))
+                    jnp.sum((rd2 < cmin).astype(jnp.int32), axis=0))
                 comb_d = jnp.where(iota_w < keep, _BIG, comb_d)
 
                 def cond(carry):
@@ -227,15 +236,15 @@ def _bq_chunked_kernel(qxyz_ref, saug_ref, qmask_ref, flags_ref,
 
                 def body(carry):
                     kk, _, comb_d, out_d, out_i = carry
-                    dmin = jnp.min(comb_d, axis=1, keepdims=True)
+                    dmin = jnp.min(comb_d, axis=0, keepdims=True)
                     # lowest-position tiebreak == lowest-index (rd2
                     # entries precede the chunk, insertion-ordered)
                     pos = jnp.min(jnp.where(comb_d == dmin, iota_w, w),
-                                  axis=1, keepdims=True)
+                                  axis=0, keepdims=True)
                     # merged index: running-list slot (K-wide gather)
                     # or a chunk candidate (position-derived)
                     vprev = jnp.sum(
-                        jnp.where(iota_k == pos, prev_i, 0), axis=1,
+                        jnp.where(iota_k == pos, prev_i, 0), axis=0,
                         keepdims=True)
                     vi = jnp.where(pos < kp, vprev, pos - kp + start)
                     sel_k = iota_k == kk
@@ -257,15 +266,16 @@ def _bq_chunked_kernel(qxyz_ref, saug_ref, qmask_ref, flags_ref,
                 out_d = jnp.where(iota_k < stop, out_d, _BIG)
                 rd2_ref[...] = out_d
                 ridx_ref[...] = out_i
+        _()
         return 0
 
-    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, nchunks], chunk_body, 0)
 
     r2 = radius * radius
-    qvalid = qmask_ref[0]  # [T, 1] bool
-    out_valid = (rd2_ref[...] <= r2) & qvalid
+    qvalid = qmaskT_ref[0]  # [1, T] bool
+    out_valid = (rd2_ref[...] <= r2) & qvalid  # [KP, T]
     out_idx = ridx_ref[...]
-    first = out_idx[:, 0:1]
+    first = out_idx[0:1, :]
     idx_ref[0] = jnp.where(out_valid, out_idx, first)
     nmask_ref[0] = out_valid
 
@@ -299,46 +309,48 @@ def ball_query_pallas_chunked(query_xyz, support_xyz, radius: float,
         support_mask = jnp.pad(support_mask, ((0, 0), (0, pad)))
     sx = jnp.where(support_mask[..., None], sx, 1e6)
     nsp = sx.shape[1]
-    flags = _bq_bbox_flags(qp, qmp, sx, support_mask[..., None], tile,
-                           cs, radius)
-    s2 = jnp.sum(sx * sx, axis=2, keepdims=True)  # [B, Nsp, 1]
-    saug = jnp.concatenate([-2.0 * sx, s2], axis=2)  # [B, Nsp, 4]
+    flags = _pack_chunk_lists(_bq_bbox_flags(
+        qp, qmp, sx, support_mask[..., None], tile, cs, radius))
+    qT = jnp.swapaxes(qp, 1, 2)  # [B, 3, Nqp]
+    qmT = jnp.swapaxes(qmp, 1, 2)  # [B, 1, Nqp]
+    kp = (nsample + 7) // 8 * 8
 
     kern = functools.partial(_bq_chunked_kernel, k=nsample, cs=cs,
                              nchunks=nsp // cs, radius=float(radius))
-    idx, nmask = pl.pallas_call(
+    idxT, nmaskT = pl.pallas_call(
         kern,
         grid=(b, ntile),
         in_specs=[
-            pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, 3, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nsp, 4), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((1, nsp, 3), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, 1, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, nsp // cs), lambda bi, ti: (bi, ti // 8, 0),
+            pl.BlockSpec((1, 8, nsp // cs + 1), lambda bi, ti: (bi, ti // 8, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile, nsample), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, kp, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, nsample), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, kp, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, qp.shape[1], nsample), jnp.int32),
-            jax.ShapeDtypeStruct((b, qp.shape[1], nsample), jnp.bool_),
+            jax.ShapeDtypeStruct((b, kp, qp.shape[1]), jnp.int32),
+            jax.ShapeDtypeStruct((b, kp, qp.shape[1]), jnp.bool_),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, nsample), jnp.float32),
-            pltpu.VMEM((tile, nsample), jnp.int32),
+            pltpu.VMEM((kp, tile), jnp.float32),
+            pltpu.VMEM((kp, tile), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qp, saug, qmp, flags)
-    return idx[:, :nq0], nmask[:, :nq0]
+    )(qT, sx, qmT, flags)
+    return (jnp.swapaxes(idxT, 1, 2)[:, :nq0, :nsample],
+            jnp.swapaxes(nmaskT, 1, 2)[:, :nq0, :nsample])
 
 
 def _tile_chunked_bq(nq: int) -> int:
@@ -352,7 +364,7 @@ def _tile_chunked_bq(nq: int) -> int:
 # TPU sweep (S3DIS stage-0, 4x15360, K=26): tile 128 + cs 512 won on
 # both uniform and surface-like clouds; smaller chunks lose to per-chunk
 # fixed cost, larger tiles to looser bboxes.
-_BQ_TILE = 128
+_BQ_TILE = int(__import__("os").environ.get("CL3D_BQ_TILE", "128"))
 
 
 # --------------------------------------------------------------------------
@@ -396,37 +408,41 @@ def _knn1_bbox_flags(qp, qmp, sp, smp, tile: int, cs: int):
     return flags
 
 
-def _knn1_chunked_kernel(qxyz_ref, saug_ref, flags_ref, idx_ref, d2_ref,
+def _knn1_chunked_kernel(qxyzT_ref, sxyz_ref, flags_ref, idx_ref, d2_ref,
                          bd_ref, bi_ref, *, cs: int, nchunks: int):
-    t = qxyz_ref.shape[1]
-    q = qxyz_ref[0]
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)
-    qaug = jnp.concatenate([q, jnp.ones((t, 1), jnp.float32)], axis=1)
+    """Transposed orientation: distances live as [cs, T] VPU
+    outer-differences (no MXU matmul — a 4-wide contraction pads to 128
+    and runs 6 passes at HIGHEST; the outer-difference is exact f32 at
+    ~5x less work), reductions run along sublanes."""
+    t = qxyzT_ref.shape[2]
+    qT = qxyzT_ref[0]  # [3, T]
     trow = pl.program_id(1) % 8
-    iota_cs = jax.lax.broadcasted_iota(jnp.int32, (t, cs), 1)
-    bd_ref[...] = jnp.full((t, 1), _BIG, jnp.float32)
-    bi_ref[...] = jnp.zeros((t, 1), jnp.int32)
+    iota_cs = jax.lax.broadcasted_iota(jnp.int32, (cs, t), 0)
+    bd_ref[...] = jnp.full((1, t), _BIG, jnp.float32)
+    bi_ref[...] = jnp.zeros((1, t), jnp.int32)
 
-    def chunk_body(ci, _):
-        @pl.when(flags_ref[0, trow, ci] != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
-            sa = saug_ref[0, pl.ds(start, cs), :]
-            d2c = q2 + jax.lax.dot_general(
-                qaug, sa, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
-            d2c = jnp.maximum(d2c, 0.0)
-            cmin = jnp.min(d2c, axis=1, keepdims=True)
+            sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+            d2c = None
+            for d in range(3):
+                diff = sx[:, d:d + 1] - qT[d:d + 1, :]  # [cs, T]
+                d2c = diff * diff if d2c is None else d2c + diff * diff
+            cmin = jnp.min(d2c, axis=0, keepdims=True)  # [1, T]
             cand = jnp.min(jnp.where(d2c == cmin, iota_cs + start,
                                      jnp.int32(2**30)),
-                           axis=1, keepdims=True)
+                           axis=0, keepdims=True)
             # strict < keeps the earlier (lower-index) chunk on ties
             upd = cmin < bd_ref[...]
             bi_ref[...] = jnp.where(upd, cand, bi_ref[...])
             bd_ref[...] = jnp.where(upd, cmin, bd_ref[...])
+        _()
         return 0
 
-    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, nchunks], chunk_body, 0)
     idx_ref[0] = bi_ref[...]
     d2_ref[0] = bd_ref[...]
 
@@ -454,44 +470,44 @@ def knn1_pallas_chunked(query_xyz, support_xyz, query_mask=None,
         support_mask = jnp.pad(support_mask, ((0, 0), (0, pad)))
     sx = jnp.where(support_mask[..., None], sx, 1e6)
     nsp = sx.shape[1]
-    flags = _knn1_bbox_flags(qp, qmp, sx, support_mask[..., None], tile,
-                             cs)
-    s2 = jnp.sum(sx * sx, axis=2, keepdims=True)
-    saug = jnp.concatenate([-2.0 * sx, s2], axis=2)
+    flags = _pack_chunk_lists(_knn1_bbox_flags(
+        qp, qmp, sx, support_mask[..., None], tile, cs))
+    qT = jnp.swapaxes(qp, 1, 2)  # [B, 3, Nqp]
 
     kern = functools.partial(_knn1_chunked_kernel, cs=cs,
                              nchunks=nsp // cs)
-    idx, d2 = pl.pallas_call(
+    idxT, d2T = pl.pallas_call(
         kern,
         grid=(b, ntile),
         in_specs=[
-            pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, 3, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nsp, 4), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((1, nsp, 3), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, nsp // cs), lambda bi, ti: (bi, ti // 8, 0),
+            pl.BlockSpec((1, 8, nsp // cs + 1), lambda bi, ti: (bi, ti // 8, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile, 1), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, 1, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 1), lambda bi, ti: (bi, ti, 0),
+            pl.BlockSpec((1, 1, tile), lambda bi, ti: (bi, 0, ti),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, qp.shape[1], 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, qp.shape[1], 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, qp.shape[1]), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, qp.shape[1]), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, 1), jnp.float32),
-            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.VMEM((1, tile), jnp.float32),
+            pltpu.VMEM((1, tile), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(qp, saug, flags)
-    return idx[:, :nq0], d2[:, :nq0]
+    )(qT, sx, flags)
+    return (jnp.swapaxes(idxT, 1, 2)[:, :nq0],
+            jnp.swapaxes(d2T, 1, 2)[:, :nq0])
 
 
 def _knn_kernel(qxyz_ref, sxyzt_ref, smask_ref, idx_ref, d2_ref,
@@ -499,12 +515,10 @@ def _knn_kernel(qxyz_ref, sxyzt_ref, smask_ref, idx_ref, d2_ref,
     t = qxyz_ref.shape[1]
     q = qxyz_ref[0]
     st = sxyzt_ref[0]
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)
-    s2 = jnp.sum(st * st, axis=0, keepdims=True)
-    cross = jax.lax.dot_general(
-        q, st, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)
-    d2 = jnp.maximum(q2 + s2 - 2.0 * cross, 0.0)
+    d2 = None  # exact f32 outer-difference, all VPU (see _bq_kernel)
+    for d in range(3):
+        diff = q[:, d:d + 1] - st[d:d + 1, :]  # [T, Ns]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
     d2 = d2 + jnp.where(smask_ref[0], 0.0, _BIG)
 
     iota_ns = jax.lax.broadcasted_iota(jnp.int32, (t, ns), 1)
@@ -568,7 +582,7 @@ def knn_pallas(query_xyz, support_xyz, k: int, support_mask=None
             jax.ShapeDtypeStruct((b, qp.shape[1], k), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(qp, sxt, smp)

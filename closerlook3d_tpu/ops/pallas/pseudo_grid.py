@@ -41,9 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
-    _chunk_flags,
-    _flag,
-    _flags_spec,
+    _chunk_lists,
+    _lists_spec,
     _interpret,
     _multi_hot_chunk,
     _pad_queries,
@@ -87,8 +86,9 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     inv_r = 1.0 / radius
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
@@ -109,9 +109,10 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=fprec))
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
@@ -131,8 +132,9 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
     def _():
         dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
 
-    def chunk_body(ci, _):
-        @pl.when(_flag(flags_ref, trow, ci) != 0)
+    def chunk_body(j, _):
+        ci = flags_ref[0, trow, j]  # packed active-chunk list
+
         def _():
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
@@ -147,9 +149,10 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=dprec)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        _()
         return 0
 
-    jax.lax.fori_loop(0, ns // cs, chunk_body, 0)
+    jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
 
 
 def pseudo_grid_fused(query_xyz, support_xyz, features, idx, mask, kp,
@@ -217,7 +220,7 @@ def _call(query_xyz, support_xyz, features, idx, mask, kp, radius,
         kern,
         grid=(b, ntile),
         in_specs=[qspec, sspec, fspec, ispec, ispec, kpspec,
-                  _flags_spec(ns // cs)],
+                  _lists_spec(ns // cs)],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, kpn * c, nqp), features.dtype),
         scratch_shapes=[pltpu.VMEM((kpn * c, tile), jnp.float32)],
@@ -227,7 +230,7 @@ def _call(query_xyz, support_xyz, features, idx, mask, kp, radius,
         interpret=_interpret(),
     )(qT, support_xyz.astype(jnp.float32), features, iT, mT,
       kp.astype(jnp.float32)[None],
-      _chunk_flags(idx, mask, tile, cs, ns // cs))
+      _chunk_lists(idx, mask, tile, cs, ns // cs))
     return jnp.swapaxes(outT, 1, 2)[:, :nq0]
 
 
@@ -261,7 +264,7 @@ def _bwd(radius, extent, mode, res, dy):
         kern,
         grid=(b, ntile),
         in_specs=[qspec, sspec, ispec, ispec, kpspec, ospec,
-                  _flags_spec(ns // cs)],
+                  _lists_spec(ns // cs)],
         out_specs=fspec,
         out_shape=jax.ShapeDtypeStruct((b, ns, c), features.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -270,7 +273,7 @@ def _bwd(radius, extent, mode, res, dy):
         interpret=_interpret(),
     )(qT, support_xyz.astype(jnp.float32), iT, mT,
       kp.astype(jnp.float32)[None], dyT,
-      _chunk_flags(idx, mask, tile, cs, ns // cs))
+      _chunk_lists(idx, mask, tile, cs, ns // cs))
     return (jnp.zeros_like(query_xyz), jnp.zeros_like(sxyz0),
             dfeats[:, :ns0], None, None, jnp.zeros_like(kp))
 
