@@ -182,15 +182,19 @@ def _bq_bbox_flags(qp, qmp, sp, smp, tile: int, cs: int, radius: float):
 
 
 def _bq_chunked_kernel(qxyzT_ref, sxyz_ref, qmaskT_ref, flags_ref,
-                       idx_ref, nmask_ref, rd2_ref, ridx_ref,
-                       *, k: int, cs: int, nchunks: int, radius: float):
+                       idx_ref, nmask_ref, rd2_ref, ridx_ref, comb_ref,
+                       pidx_ref, *, k: int, cs: int, nchunks: int,
+                       radius: float):
     """Transposed orientation (slots on sublanes, queries on lanes).
 
     Distances are [cs, T] VPU outer-differences — a 4-wide MXU
     contraction pads to 128 and runs 6 HIGHEST passes, ~5x the work —
     and the running list is [KP, T] with KP = k rounded to the f32
     sublane granule (8), so the merge concat needs no 128-lane-group
-    padding at all (w = KP+cs vs 128+cs).
+    padding at all (w = KP+cs vs 128+cs). The extraction loop carries
+    only scalars: the [w, T] candidate buffer and the previous index
+    list live in scratch refs mutated in place — carrying comb_d
+    (~280 KB f32) through lax.while_loop copied it every iteration.
     """
     t = qxyzT_ref.shape[2]
     qT = qxyzT_ref[0]  # [3, T] f32
@@ -222,50 +226,51 @@ def _bq_chunked_kernel(qxyzT_ref, sxyz_ref, qmaskT_ref, flags_ref,
             def _merge():
                 rd2 = rd2_ref[...]  # [KP, T]
                 prev_i = ridx_ref[...]
-                comb_d = jnp.concatenate([rd2, d2c], axis=0)  # [w, T]
                 # running-list prefix already better than anything this
                 # chunk offers keeps its slots: skip those passes (cuts
                 # the re-extraction cost from ~K per chunk to ~#new)
                 keep = jnp.min(
                     jnp.sum((rd2 < cmin).astype(jnp.int32), axis=0))
-                comb_d = jnp.where(iota_w < keep, _BIG, comb_d)
+                comb_ref[...] = jnp.where(
+                    iota_w < keep, _BIG,
+                    jnp.concatenate([rd2, d2c], axis=0))
+                pidx_ref[...] = prev_i  # old list; ridx mutates below
+                rd2_ref[...] = jnp.where(iota_k < keep, rd2, _BIG)
+                ridx_ref[...] = jnp.where(iota_k < keep, prev_i, 0)
 
                 def cond(carry):
-                    kk, go, *_ = carry
+                    kk, go = carry
                     return (kk < k) & go
 
                 def body(carry):
-                    kk, _, comb_d, out_d, out_i = carry
+                    kk, _ = carry
+                    comb_d = comb_ref[...]
                     dmin = jnp.min(comb_d, axis=0, keepdims=True)
                     # lowest-position tiebreak == lowest-index (rd2
                     # entries precede the chunk, insertion-ordered)
                     pos = jnp.min(jnp.where(comb_d == dmin, iota_w, w),
                                   axis=0, keepdims=True)
-                    # merged index: running-list slot (K-wide gather)
-                    # or a chunk candidate (position-derived)
+                    # merged index: old-list slot (from the preserved
+                    # copy) or a chunk candidate (position-derived)
                     vprev = jnp.sum(
-                        jnp.where(iota_k == pos, prev_i, 0), axis=0,
-                        keepdims=True)
+                        jnp.where(iota_k == pos, pidx_ref[...], 0),
+                        axis=0, keepdims=True)
                     vi = jnp.where(pos < kp, vprev, pos - kp + start)
                     sel_k = iota_k == kk
-                    out_d = out_d + dmin * sel_k.astype(jnp.float32)
-                    out_i = out_i + vi * sel_k.astype(jnp.int32)
-                    comb_d = jnp.where(iota_w == pos, _BIG, comb_d)
+                    # unconditional writes: slot 0 must hold the
+                    # NEAREST index even out of radius (the shadow-pad
+                    # convention), and validity is re-derived from
+                    # rd2 <= r2 at the end
+                    rd2_ref[...] = jnp.where(sel_k, dmin, rd2_ref[...])
+                    ridx_ref[...] = jnp.where(sel_k, vi, ridx_ref[...])
+                    comb_ref[...] = jnp.where(iota_w == pos, _BIG,
+                                              comb_d)
                     # once every query's minimum is out of radius,
                     # further slots can only be invalid (then shadow-
                     # padded): stop. Work tracks real neighbor counts.
-                    go = jnp.any(dmin <= r2)
-                    return kk + 1, go, comb_d, out_d, out_i
+                    return kk + 1, jnp.any(dmin <= r2)
 
-                stop, _, _, out_d, out_i = jax.lax.while_loop(
-                    cond, body,
-                    (keep, True, comb_d,
-                     jnp.where(iota_k < keep, rd2, 0.0),
-                     jnp.where(iota_k < keep, prev_i, 0)))
-                # unwritten tail slots must read as empty (_BIG)
-                out_d = jnp.where(iota_k < stop, out_d, _BIG)
-                rd2_ref[...] = out_d
-                ridx_ref[...] = out_i
+                jax.lax.while_loop(cond, body, (keep, True))
         _()
         return 0
 
@@ -342,6 +347,8 @@ def ball_query_pallas_chunked(query_xyz, support_xyz, radius: float,
         ),
         scratch_shapes=[
             pltpu.VMEM((kp, tile), jnp.float32),
+            pltpu.VMEM((kp, tile), jnp.int32),
+            pltpu.VMEM((kp + cs, tile), jnp.float32),
             pltpu.VMEM((kp, tile), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
