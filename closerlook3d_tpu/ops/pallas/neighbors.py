@@ -14,6 +14,7 @@ accumulators (no dynamic stores). The XLA top_k path materializes
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -151,7 +152,9 @@ def ball_query_pallas(query_xyz, support_xyz, radius: float, nsample: int,
 # downstream consumers rely on). Unsorted inputs stay correct and merely
 # skip fewer chunks.
 
-_BQ_CS = 512  # support chunk (lane-dim slices need 128 multiples)
+_BQ_CS = int(os.environ.get("CL3D_BQ_CS", "512"))  # support chunk
+# (v5e sweep at S3DIS stage-0: 512 beats 256/128 — smaller chunks cost
+# more merges than their tighter bboxes and narrower scans save)
 
 
 def _bq_bbox_flags(qp, qmp, sp, smp, tile: int, cs: int, radius: float):

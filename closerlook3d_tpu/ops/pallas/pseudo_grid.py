@@ -101,14 +101,21 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
                      else jax.lax.Precision.DEFAULT)
             dps = [(sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
                    for d in range(3)]  # 3 x [cs, T]
+            # stack the Kp influence-weighted multi-hots along lanes
+            # (T is a 128 multiple, so the concat is alignment-free)
+            # and run ONE [cs,C]x[cs,Kp*T] MXU matmul — Kp separate
+            # matmuls are launch-bound
+            w = jnp.concatenate(
+                [m * _influence_cs(dps, kp_ref, p, extent, mode)
+                 for p in range(kpn)], axis=1)  # [cs, Kp*T]
+            outW = jax.lax.dot_general(
+                fch, w.astype(fch.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=fprec)  # [C, Kp*T]
             for p in range(kpn):
-                w = m * _influence_cs(dps, kp_ref, p, extent, mode)
                 acc_ref[p * channels:(p + 1) * channels, :] += (
-                    jax.lax.dot_general(
-                        fch, w.astype(fch.dtype),
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=fprec))
+                    outW[:, p * t:(p + 1) * t])
         _()
         return 0
 
@@ -141,13 +148,18 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
             sx = sxyz_ref[0, pl.ds(start, cs), :]
             dps = [(sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
                    for d in range(3)]
-            df = jnp.zeros((cs, channels), jnp.float32)
-            for p in range(kpn):
-                w = m * _influence_cs(dps, kp_ref, p, extent, mode)
-                df = df + jax.lax.dot_general(
-                    w.astype(dy.dtype), dy[p * channels:(p + 1) * channels, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=dprec)
+            # same stacking as the forward: one [cs,Kp*T]x[C,Kp*T]
+            # contraction over Kp*T instead of Kp launch-bound matmuls
+            w = jnp.concatenate(
+                [m * _influence_cs(dps, kp_ref, p, extent, mode)
+                 for p in range(kpn)], axis=1)  # [cs, Kp*T]
+            dyW = jnp.concatenate(
+                [dy[p * channels:(p + 1) * channels, :]
+                 for p in range(kpn)], axis=1)  # [C, Kp*T]
+            df = jax.lax.dot_general(
+                w.astype(dy.dtype), dyW,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=dprec)
             dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         _()
         return 0
