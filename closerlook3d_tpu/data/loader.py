@@ -120,3 +120,56 @@ class BatchIterator:
             if self.transform is not None:
                 batch = self.transform(batch)
             yield batch
+
+
+class PrefetchIterator:
+    """Background-thread prefetch wrapper around a batch iterable.
+
+    The reference's DataLoader(num_workers=W) overlaps host-side batch
+    assembly with the device step through worker processes; here a
+    single daemon thread with a bounded queue does the same (numpy
+    releases the GIL in its hot paths, and batch assembly is
+    allocation/copy-bound). Depth 2 is enough: one batch in flight on
+    the device, one being built. Exceptions in the producer re-raise in
+    the consumer. Wraps per-EPOCH iteration: ``set_epoch``/``__len__``
+    delegate, so it is a drop-in for BatchIterator in the train loop.
+    """
+
+    _DONE = object()
+
+    def __init__(self, base, depth: int = 2):
+        self.base = base
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.base)
+
+    def set_epoch(self, epoch: int):
+        self.base.set_epoch(epoch)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        err = []
+
+        def produce():
+            try:
+                for batch in self.base:
+                    q.put(batch)
+            except BaseException as e:  # re-raised on the consumer side
+                err.append(e)
+            finally:
+                q.put(self._DONE)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -69,6 +69,13 @@ class Trainer:
             feature_spec=cfg.input_features, seed=cfg.rng_seed,
             drop_last=False, transform=transform, spatial_sort=host_sort,
             process_index=pidx, process_count=pcnt)
+        if int(getattr(cfg, "num_workers", 0)) > 0:
+            # reference DataLoader(num_workers=W) analogue: overlap
+            # host batch assembly with the device step via a
+            # background-thread prefetch queue (data/loader.py)
+            from closerlook3d_tpu.data.loader import PrefetchIterator
+            self.train_iter = PrefetchIterator(self.train_iter)
+            self.val_iter = PrefetchIterator(self.val_iter)
 
         self.mesh = make_mesh(cfg.data_parallel, cfg.model_parallel)
         self.model, self.loss_fn = build_model(cfg)

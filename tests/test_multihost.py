@@ -92,3 +92,44 @@ def test_maybe_initialize_distributed_calls_jax(monkeypatch):
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
     assert mesh.maybe_initialize_distributed() is True
     assert calls == [1]
+
+
+def test_prefetch_iterator_matches_and_reraises():
+    import numpy as np
+
+    from closerlook3d_tpu.data.loader import BatchIterator, PrefetchIterator
+    from closerlook3d_tpu.data.synthetic import SyntheticClassification
+
+    ds = SyntheticClassification(num_samples=10, num_points=32,
+                                 num_classes=4)
+    base = BatchIterator(ds, 3, shuffle=True, feature_spec="xyz", seed=3)
+    pre = PrefetchIterator(BatchIterator(ds, 3, shuffle=True,
+                                         feature_spec="xyz", seed=3))
+    assert len(pre) == len(base)
+    base.set_epoch(2)
+    pre.set_epoch(2)
+    got_a = list(base)
+    got_b = list(pre)
+    assert len(got_a) == len(got_b)
+    for a, b in zip(got_a, got_b):
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    # two epochs in sequence reuse the wrapper cleanly
+    assert len(list(pre)) == len(got_b)
+
+    class _Boom:
+        def __len__(self):
+            return 1
+
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            raise RuntimeError("producer boom")
+            yield  # pragma: no cover
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer boom"):
+        list(PrefetchIterator(_Boom()))
