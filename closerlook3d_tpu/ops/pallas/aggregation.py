@@ -429,39 +429,44 @@ def _sincos_coef(channels: int) -> "np.ndarray":
     return coef
 
 
-def _sc_chunk_trig(sxyz_ref, qT, coef_ref, start, cs: int, inv_r: float):
+def _sincos_coefT(channels: int) -> "np.ndarray":
+    """[C, 3] transpose of _sincos_coef's frequency rows — the V angles
+    need per-channel coefficients in column orientation and Mosaic
+    relayouts are dearer than a second tiny constant."""
+    return np.ascontiguousarray(_sincos_coef(channels)[:3].T)
+
+
+def _sc_chunk_trig(sxyz_ref, qT, coef_ref, coefT_ref, start, cs: int,
+                   inv_r: float):
     """Per-chunk recentred angle trig: (sinU, cosU [cs,C], sinV, cosV
     [C,T]) for the chunk's supports and this tile's queries.
 
     The chunk origin o (first support point) recentres both angle sets.
-    Mosaic cannot relayout o into a [3,1] column for the V matmul
-    (dynamic-offset sublane concat is rejected), so the origin term is
-    folded into an AUGMENTED matmul instead: V = [A; -oAr] @ [q·r⁻¹; 1]
-    with only static concats.
+    The frequency matrix A has exactly one nonzero per channel (the
+    channel's coordinate), so the angle "matmuls" are really selector
+    broadcasts: U = Σ_d ((s_d − o_d)/r)·A[d,:], V = Σ_d Aᵀ[:,d]·
+    ((q_d − o_d)/r) — pure VPU outer products instead of two 3/4-wide
+    MXU contractions (which pad to 128 and run 6 HIGHEST passes).
     """
     sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
     o = sxyz_ref[0, pl.ds(start, 1), :]    # [1, 3] chunk origin
     A = coef_ref[0, 0:3, :]                # [3, C]
-    u = jax.lax.dot_general(
-        (sx - o) * inv_r, A, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)  # [cs, C]
-    vo = jax.lax.dot_general(
-        o * inv_r, A, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)  # [1, C]
-    a4 = jnp.concatenate([A, -vo], axis=0)  # [4, C] static concat
-    q4 = jnp.concatenate(
-        [qT * inv_r, jnp.ones((1, qT.shape[1]), jnp.float32)],
-        axis=0)  # [4, T]
-    v = jax.lax.dot_general(
-        a4, q4, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI)  # [C, T]
+    u = None
+    v = None
+    for d in range(3):
+        su = (sx[:, d:d + 1] - o[:, d:d + 1]) * inv_r    # [cs, 1]
+        ud = su * A[d:d + 1, :]                          # [cs, C]
+        u = ud if u is None else u + ud
+        qv = (qT[d:d + 1, :] - o[:, d:d + 1]) * inv_r    # [1, T]
+        vd = coefT_ref[0, :, d:d + 1] * qv               # [C, T]
+        v = vd if v is None else v + vd
     return jnp.sin(u), jnp.cos(u), jnp.sin(v), jnp.cos(v)
 
 
 def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
-                   coef_ref, flags_ref, out_ref, acc_ref, cnt_ref, *,
-                   k: int, ns: int, channels: int, radius: float,
-                   reduction: str):
+                   coef_ref, coefT_ref, flags_ref, out_ref, acc_ref,
+                   cnt_ref, *, k: int, ns: int, channels: int,
+                   radius: float, reduction: str):
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     trow = pl.program_id(1) % 8
@@ -487,7 +492,7 @@ def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
                      else jax.lax.Precision.DEFAULT)
             fch32 = fch.astype(jnp.float32)
             sinU, cosU, sinV, cosV = _sc_chunk_trig(
-                sxyz_ref, qT, coef_ref, start, cs, inv_r)
+                sxyz_ref, qT, coef_ref, coefT_ref, start, cs, inv_r)
             # y_sin = cosV·Σ f sinU − sinV·Σ f cosU
             # y_cos = cosV·Σ f cosU + sinV·Σ f sinU
             g1 = (fch32 * (s_sel * sinU + (1.0 - s_sel) * cosU)).astype(
@@ -513,8 +518,9 @@ def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
 
 
 def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
-                   dyT_ref, flags_ref, dfeats_ref, cnt_ref, *, k: int,
-                   ns: int, channels: int, radius: float, reduction: str):
+                   coefT_ref, dyT_ref, flags_ref, dfeats_ref, cnt_ref,
+                   *, k: int, ns: int, channels: int, radius: float,
+                   reduction: str):
     del cnt_ref  # the masked count is chunk-independent (mask rows only)
     tile = pl.program_id(1)
     t = qxyzT_ref.shape[2]
@@ -544,7 +550,7 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
             start = ci * cs
             m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
             sinU, cosU, sinV, cosV = _sc_chunk_trig(
-                sxyz_ref, qT, coef_ref, start, cs, inv_r)
+                sxyz_ref, qT, coef_ref, coefT_ref, start, cs, inv_r)
             mc = m.astype(ddt)
             p = jax.lax.dot_general(
                 mc, (cosV * dy).astype(ddt),
@@ -651,6 +657,9 @@ def _pospool_call(query_xyz, support_xyz, features, idx, mask,
         in_specs.insert(5, pl.BlockSpec((1, 4, c), lambda bi, ti: (0, 0, 0),
                                         memory_space=pltpu.VMEM))
         operands.insert(5, jnp.asarray(_sincos_coef(c))[None])
+        in_specs.insert(6, pl.BlockSpec((1, c, 3), lambda bi, ti: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(6, jnp.asarray(_sincos_coefT(c))[None])
     scratch = [pltpu.VMEM((c, tile), jnp.float32),
                pltpu.VMEM((1, tile), jnp.float32)]
     outT = pl.pallas_call(
@@ -701,6 +710,9 @@ def _pospool_bwd(radius, mode, reduction, res, dy):
         in_specs.insert(4, pl.BlockSpec((1, 4, c), lambda bi, ti: (0, 0, 0),
                                         memory_space=pltpu.VMEM))
         operands.insert(4, jnp.asarray(_sincos_coef(c))[None])
+        in_specs.insert(5, pl.BlockSpec((1, c, 3), lambda bi, ti: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        operands.insert(5, jnp.asarray(_sincos_coefT(c))[None])
     scratch = [pltpu.VMEM((1, tile), jnp.float32)]
     dfeats = pl.pallas_call(
         kern,
