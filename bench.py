@@ -2,7 +2,7 @@
 
 Prints ONE JSON line. Headline fields (metric/value/vs_baseline) come
 from the ModelNet40 cls/pospool cell; a ``matrix`` field carries every
-{cls, seg} x {5 operator} cell so the driver catches regressions in the
+{cls, seg, partseg} x {5 operator} cell so the driver catches regressions in the
 non-headline cells too (VERDICT r1 item 5).
 
 vs_baseline is SELF-RELATIVE: the pinned value in BENCH_PIN.json is the
@@ -13,7 +13,7 @@ baseline to compare against; ``vs_baseline_kind`` says so explicitly.
 
 Env knobs:
   BENCH_MATRIX=0        -> single cell only (BENCH_TASK x BENCH_OP)
-  BENCH_TASK=cls|seg    BENCH_OP=<operator>   (single-cell mode)
+  BENCH_TASK=cls|seg|partseg  BENCH_OP=<operator>  (single-cell mode)
   BENCH_STEPS=N         timed steps per cell (default 20 headline,
                         10 matrix cells)
   BENCH_POINTS/BENCH_BATCH  shape overrides (single-cell mode)
@@ -64,6 +64,18 @@ def _cell_cfg(task: str, op: str, num_points=None, batch=None):
         cfg.num_classes = 40
         cfg.npoints = []
         cfg.batch_size = int(batch or 32)
+    elif task == "partseg":
+        # ShapeNetPart headline shape: FPS downsampling + U-Net decoder
+        # + per-category multi-part head (16 cats / 50 parts)
+        from closerlook3d_tpu.data.shapenetpart import NUM_PARTS
+        cfg.task = "part_segmentation"
+        cfg.num_points = int(num_points or 2048)
+        cfg.num_classes = 16
+        cfg.num_parts = list(NUM_PARTS)
+        cfg.npoints = [2048, 512, 128, 32, 8]
+        cfg.radius = 0.1
+        cfg.batch_size = int(batch or 32)
+        cfg.input_features = "xyz"
     else:
         # S3DIS headline shape: 15k-point spheres, grid downsampling,
         # U-Net decoder, 13 classes
@@ -91,6 +103,17 @@ def _make_host_batch(cfg, rng):
             "features": xyz.copy(),
             "label": rng.integers(
                 0, cfg.num_classes, size=(batch,)).astype(np.int32),
+        }
+    elif cfg.task == "part_segmentation":
+        host_batch = {
+            "xyz": xyz,
+            "mask": np.ones((batch, num_points), bool),
+            "features": xyz.copy(),
+            "labels": rng.integers(
+                0, int(np.sum(cfg.num_parts)),
+                size=(batch, num_points)).astype(np.int32),
+            "category": rng.integers(
+                0, len(cfg.num_parts), size=(batch,)).astype(np.int32),
         }
     else:
         feats = np.concatenate(
@@ -235,7 +258,7 @@ def main():
         return
 
     matrix = {}
-    for task in ("cls", "seg"):
+    for task in ("cls", "seg", "partseg"):
         for op_name, _ in MATRIX_OPS:
             is_headline = (task, op_name) == ("cls", "pospool")
             n = steps if is_headline else max(steps // 2, 5)
