@@ -273,6 +273,8 @@ def _wide_onehot(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
     mW = maskT_ref[0, pl.ds(0, k), :].reshape(1, k * t) != 0
     iota = jax.lax.broadcasted_iota(jnp.int32, (cs, k * t), 0) + start
     inkW = mW & (rowW >= start) & (rowW < start + cs)
+    # (i16 compares would halve the vreg count here, but v5e supports
+    # neither 16-bit iota nor 16-bit equality — measured dead end)
     ohW = (iota == rowW) & mW
     return ohW, inkW
 
