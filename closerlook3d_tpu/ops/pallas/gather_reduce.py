@@ -550,7 +550,11 @@ _mm_vjp.defvjp(_mm_fwd, _mm_bwd)
 # matmul formulation is MXU-launch-bound and measured ~2x slower.
 
 
-_MAX_CS = int(os.environ.get("CL3D_MAX_CS", "512"))
+# v5e sweep (seg step, bf16): 512 -> pwmlp 90.2 / pospool 68.0 ms,
+# 256 -> 83.0 / 62.5, 128 -> 83.2 (pwmlp) — smaller chunks tighten the
+# one-hot width against the Morton span; 256 balances per-chunk fixed
+# costs. Env override for re-sweeps.
+_MAX_CS = int(os.environ.get("CL3D_MAX_CS", "256"))
 
 
 def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
