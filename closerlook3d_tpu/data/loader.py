@@ -152,24 +152,49 @@ class PrefetchIterator:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         err = []
 
         def produce():
             try:
                 for batch in self.base:
-                    q.put(batch)
+                    # stop-aware put: an abandoned consumer generator
+                    # (next(iter(...)) once, early break, exception)
+                    # must not leave this thread blocked forever
+                    # pinning host batches
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # re-raised on the consumer side
                 err.append(e)
             finally:
-                q.put(self._DONE)
+                try:
+                    q.put_nowait(self._DONE)
+                except queue.Full:
+                    pass  # consumer gone; stop is (or will be) set
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    break
+                yield item
+        finally:
+            # runs on exhaustion AND on GeneratorExit/exception: unblock
+            # and retire the producer
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
         if err:
             raise err[0]

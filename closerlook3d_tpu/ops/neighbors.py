@@ -32,13 +32,18 @@ def pairwise_dist2(
     compute on the VPU. The expanded |q|^2 + |s|^2 - 2 q.s form loses
     ~5 bits to cancellation at |Δ| ≪ |q| and mis-orders near-ties
     relative to the kernels (observed at S3DIS scale: pairs 6e-7 apart
-    in a 4 m room swap rank). XLA fuses the trailing-3 reduction, so no
-    [B, Nq, Ns, 3] intermediate materializes under jit.
+    in a 4 m room swap rank). Accumulated per coordinate so the eager
+    peak stays at 2x [B, Nq, Ns] (a fused [B, Nq, Ns, 3] form would
+    transiently hold 4x that outside jit); under jit XLA fuses either
+    way.
     """
     q = query_xyz.astype(jnp.float32)
     s = support_xyz.astype(jnp.float32)
-    diff = q[..., :, None, :] - s[..., None, :, :]  # [B, Nq, Ns, 3]
-    return jnp.sum(diff * diff, axis=-1)
+    d2 = None
+    for d in range(3):
+        diff = q[..., :, None, d] - s[..., None, :, d]  # [B, Nq, Ns]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    return d2
 
 
 def _topk_neighbors(

@@ -124,19 +124,6 @@ def _chunk_flags(idx, mask, tile, cs: int, nchunks: int):
     return flags
 
 
-def _flags_spec(nchunks: int):
-    return pl.BlockSpec((1, 8, nchunks), lambda bi, ti: (bi, ti // 8, 0),
-                        memory_space=pltpu.SMEM)
-
-
-def _flag(flags_ref, trow, ci):
-    """Active-flag scalar for (this query tile, support chunk ci).
-
-    trow = program_id(1) % 8 must be hoisted to the kernel top (interpret
-    mode cannot lower program_id from inside loop/when closures)."""
-    return flags_ref[0, trow, ci]
-
-
 def _pack_chunk_lists(flags):
     """[B, ntile8, C] int32 flags -> [B, ntile8, C+1] packed lists:
     active chunk ids ascending at the front, the count in slot C.
@@ -279,7 +266,8 @@ def _wide_onehot(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
     return ohW, inkW
 
 
-def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
+def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int,
+                     start, hi=None):
     """Per-support-chunk masked multi-hot [cs, T] (chunk begins at start).
 
     Deliberately a rolled fori loop: building via _wide_onehot + a
@@ -294,7 +282,8 @@ def _multi_hot_chunk(idxT_ref, maskT_ref, k: int, cs: int, t: int, start):
         oh = (iota == _row(idxT_ref, kk)) & (_row(maskT_ref, kk) != 0)
         return m + oh.astype(jnp.float32)
 
-    return jax.lax.fori_loop(0, _hi_slot(maskT_ref, k, t), body,
+    bound = _hi_slot(maskT_ref, k, t) if hi is None else hi
+    return jax.lax.fori_loop(0, bound, body,
                              jnp.zeros((cs, t), jnp.float32))
 
 
@@ -307,6 +296,7 @@ def _xyz_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     inv_r = 1.0 / radius
     qT = qxyzT_ref[0]  # [3, T]
     trow = pl.program_id(1) % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
     # valid-neighbor count == mask row-sum (every valid slot lands in
     # exactly one chunk) — no need to build multi-hots to count
@@ -316,26 +306,25 @@ def _xyz_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
-            fch = feats_ref[0, pl.ds(start, cs), :]
-            # bf16 features ride single-pass bf16 MXU matmuls (the
-            # multi-hot-weighted delta quantizes like any other bf16
-            # operand); f32 features keep full precision.
-            fprec = (_HI if fch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            parts = []
-            for d in range(3):
-                delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r  # [cs,T]
-                w = (m * delta).astype(fch.dtype)
-                parts.append(jax.lax.dot_general(
-                    fch[:, d * g:(d + 1) * g], w,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=fprec))
-            acc_ref[...] = acc_ref[...] + jnp.concatenate(parts, axis=0)
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+        fch = feats_ref[0, pl.ds(start, cs), :]
+        # bf16 features ride single-pass bf16 MXU matmuls (the
+        # multi-hot-weighted delta quantizes like any other bf16
+        # operand); f32 features keep full precision.
+        fprec = (_HI if fch.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        parts = []
+        for d in range(3):
+            delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r  # [cs,T]
+            w = (m * delta).astype(fch.dtype)
+            parts.append(jax.lax.dot_general(
+                fch[:, d * g:(d + 1) * g], w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=fprec))
+        acc_ref[...] = acc_ref[...] + jnp.concatenate(parts, axis=0)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -355,6 +344,7 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
     inv_r = 1.0 / radius
     qT = qxyzT_ref[0]
     trow = tile % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
 
     @pl.when(tile == 0)
     def _():
@@ -374,21 +364,20 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            sx = sxyz_ref[0, pl.ds(start, cs), :]
-            grads = []
-            for d in range(3):
-                delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
-                w = (m * delta).astype(dy0.dtype)  # [cs, T]
-                grads.append(jax.lax.dot_general(
-                    w, dy0[d * g:(d + 1) * g, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=dprec))
-            df = jnp.concatenate(grads, axis=-1)  # [cs, C]
-            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]
+        grads = []
+        for d in range(3):
+            delta = (sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
+            w = (m * delta).astype(dy0.dtype)  # [cs, T]
+            grads.append(jax.lax.dot_general(
+                w, dy0[d * g:(d + 1) * g, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=dprec))
+        df = jnp.concatenate(grads, axis=-1)  # [cs, C]
+        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -472,6 +461,7 @@ def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     trow = pl.program_id(1) % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     qT = qxyzT_ref[0]  # [3, T]
     inv_r = 1.0 / radius
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
@@ -483,33 +473,32 @@ def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            fch = feats_ref[0, pl.ds(start, cs), :]
-            # bf16 features: modulate in f32, then single-pass bf16 MXU
-            # matmuls with f32 accumulation (multi-hot is exact; the
-            # modulated operand quantizes like any bf16 input)
-            fprec = (_HI if fch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            fch32 = fch.astype(jnp.float32)
-            sinU, cosU, sinV, cosV = _sc_chunk_trig(
-                sxyz_ref, qT, coef_ref, coefT_ref, start, cs, inv_r)
-            # y_sin = cosV·Σ f sinU − sinV·Σ f cosU
-            # y_cos = cosV·Σ f cosU + sinV·Σ f sinU
-            g1 = (fch32 * (s_sel * sinU + (1.0 - s_sel) * cosU)).astype(
-                fch.dtype)
-            g2 = (fch32 * ((1.0 - s_sel) * sinU - s_sel * cosU)).astype(
-                fch.dtype)
-            mc = m.astype(fch.dtype)
-            mg1 = jax.lax.dot_general(
-                g1, mc, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=fprec)
-            mg2 = jax.lax.dot_general(
-                g2, mc, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=fprec)
-            acc_ref[...] = acc_ref[...] + cosV * mg1 + sinV * mg2
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        fch = feats_ref[0, pl.ds(start, cs), :]
+        # bf16 features: modulate in f32, then single-pass bf16 MXU
+        # matmuls with f32 accumulation (multi-hot is exact; the
+        # modulated operand quantizes like any bf16 input)
+        fprec = (_HI if fch.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        fch32 = fch.astype(jnp.float32)
+        sinU, cosU, sinV, cosV = _sc_chunk_trig(
+            sxyz_ref, qT, coef_ref, coefT_ref, start, cs, inv_r)
+        # y_sin = cosV·Σ f sinU − sinV·Σ f cosU
+        # y_cos = cosV·Σ f cosU + sinV·Σ f sinU
+        g1 = (fch32 * (s_sel * sinU + (1.0 - s_sel) * cosU)).astype(
+            fch.dtype)
+        g2 = (fch32 * ((1.0 - s_sel) * sinU - s_sel * cosU)).astype(
+            fch.dtype)
+        mc = m.astype(fch.dtype)
+        mg1 = jax.lax.dot_general(
+            g1, mc, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=fprec)
+        mg2 = jax.lax.dot_general(
+            g2, mc, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=fprec)
+        acc_ref[...] = acc_ref[...] + cosV * mg1 + sinV * mg2
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -528,6 +517,7 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     trow = tile % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     qT = qxyzT_ref[0]
     inv_r = 1.0 / radius
     s_sel = coef_ref[0, 3:4, :]
@@ -548,24 +538,23 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            sinU, cosU, sinV, cosV = _sc_chunk_trig(
-                sxyz_ref, qT, coef_ref, coefT_ref, start, cs, inv_r)
-            mc = m.astype(ddt)
-            p = jax.lax.dot_general(
-                mc, (cosV * dy).astype(ddt),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=dprec)
-            q = jax.lax.dot_general(
-                mc, (sinV * dy).astype(ddt),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=dprec)
-            df = ((s_sel * sinU + (1.0 - s_sel) * cosU) * p
-                  + ((1.0 - s_sel) * sinU - s_sel * cosU) * q)
-            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        sinU, cosU, sinV, cosV = _sc_chunk_trig(
+            sxyz_ref, qT, coef_ref, coefT_ref, start, cs, inv_r)
+        mc = m.astype(ddt)
+        p = jax.lax.dot_general(
+            mc, (cosV * dy).astype(ddt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dprec)
+        q = jax.lax.dot_general(
+            mc, (sinV * dy).astype(ddt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dprec)
+        df = ((s_sel * sinU + (1.0 - s_sel) * cosU) * p
+              + ((1.0 - s_sel) * sinU - s_sel * cosU) * q)
+        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)

@@ -147,24 +147,24 @@ def _sum_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
     t = idxT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     trow = pl.program_id(1) % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            fch = feats_ref[0, pl.ds(start, cs), :]
-            # bf16 features: single-pass bf16 MXU matmul (multi-hot
-            # entries are small ints, exact in bf16; f32 accumulation)
-            fprec = (_HI if fch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
-                fch, m.astype(fch.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=fprec)
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        fch = feats_ref[0, pl.ds(start, cs), :]
+        # bf16 features: single-pass bf16 MXU matmul (multi-hot
+        # entries are small ints, exact in bf16; f32 accumulation)
+        fprec = (_HI if fch.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+            fch, m.astype(fch.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=fprec)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -177,6 +177,7 @@ def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, flags_ref, dfeats_ref,
     t = idxT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     trow = tile % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
 
     @pl.when(tile == 0)
     def _():
@@ -189,15 +190,14 @@ def _sum_bwd_kernel(idxT_ref, maskT_ref, dyT_ref, flags_ref, dfeats_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            df = jax.lax.dot_general(
-                m.astype(dy.dtype), dy,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=dprec)
-            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        df = jax.lax.dot_general(
+            m.astype(dy.dtype), dy,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dprec)
+        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -304,38 +304,36 @@ def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            gch = g_ref[0, pl.ds(start, cs), :]  # [cs, C]
-            fprec = (_HI if gch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            if t % 128 == 0:
-                def body_fn(base, g, ohW, inkW):
-                    gfW = _gather_T(ohW.astype(gch.dtype), gch, fprec)
-                    hmax, hmin = hmax_ref[...], hmin_ref[...]
-                    for kk in range(g):
-                        h = gfW[:, kk * t:(kk + 1) * t] - dT
-                        ink = inkW[:, kk * t:(kk + 1) * t]
-                        hmax = jnp.where(ink, jnp.maximum(hmax, h), hmax)
-                        hmin = jnp.where(ink, jnp.minimum(hmin, h), hmin)
-                    hmax_ref[...], hmin_ref[...] = hmax, hmin
+        start = ci * cs
+        gch = g_ref[0, pl.ds(start, cs), :]  # [cs, C]
+        fprec = (_HI if gch.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        if t % 128 == 0:
+            def body_fn(base, g, ohW, inkW):
+                gfW = _gather_T(ohW.astype(gch.dtype), gch, fprec)
+                hmax, hmin = hmax_ref[...], hmin_ref[...]
+                for kk in range(g):
+                    h = gfW[:, kk * t:(kk + 1) * t] - dT
+                    ink = inkW[:, kk * t:(kk + 1) * t]
+                    hmax = jnp.where(ink, jnp.maximum(hmax, h), hmax)
+                    hmin = jnp.where(ink, jnp.minimum(hmin, h), hmin)
+                hmax_ref[...], hmin_ref[...] = hmax, hmin
 
-                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
-                             body_fn)
-            else:
-                def body(kk, _):
-                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
-                                             t, start)
-                    gf = _gather_T(oh.astype(gch.dtype), gch, fprec)
-                    h = gf - dT
-                    hmax_ref[...] = jnp.where(
-                        ink, jnp.maximum(hmax_ref[...], h), hmax_ref[...])
-                    hmin_ref[...] = jnp.where(
-                        ink, jnp.minimum(hmin_ref[...], h), hmin_ref[...])
-                    return 0
+            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                         body_fn)
+        else:
+            def body(kk, _):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                         t, start)
+                gf = _gather_T(oh.astype(gch.dtype), gch, fprec)
+                h = gf - dT
+                hmax_ref[...] = jnp.where(
+                    ink, jnp.maximum(hmax_ref[...], h), hmax_ref[...])
+                hmin_ref[...] = jnp.where(
+                    ink, jnp.minimum(hmin_ref[...], h), hmin_ref[...])
+                return 0
 
-                jax.lax.fori_loop(0, hi, body, 0)
-        _()
+            jax.lax.fori_loop(0, hi, body, 0)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -366,55 +364,53 @@ def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            gch = g_ref[0, pl.ds(start, cs), :]
-            fprec = (_HI if gch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            c = dT.shape[0]
-            if t % 128 == 0:
-                def body_fn(base, g, ohW, inkW):
-                    ohWc = ohW.astype(gch.dtype)
-                    gfW = _gather_T(ohWc, gch, fprec)  # [C, G*T]
-                    parts = []
-                    for kk in range(g):
-                        h = gfW[:, kk * t:(kk + 1) * t] - dT
-                        inkf = inkW[:, kk * t:(kk + 1) * t].astype(
-                            jnp.float32)
-                        contrib = inkf * ((h == hmax) * dmax
-                                          + (h == hmin) * dmin)  # [C, T]
-                        dd_ref[...] = dd_ref[...] - contrib
-                        parts.append(contrib.astype(gch.dtype))
-                    dgW = (parts[0] if g == 1
-                           else jnp.concatenate(parts, axis=1))
-                    dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
-                        ohWc, dgW,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=fprec).astype(dg_ref.dtype)
-
-                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
-                             body_fn)
-            else:
-                def body(kk, dg):
-                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
-                                             t, start)
-                    ohc = oh.astype(gch.dtype)
-                    gf = _gather_T(ohc, gch, fprec)
-                    h = gf - dT
-                    inkf = ink.astype(jnp.float32)
+        start = ci * cs
+        gch = g_ref[0, pl.ds(start, cs), :]
+        fprec = (_HI if gch.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        c = dT.shape[0]
+        if t % 128 == 0:
+            def body_fn(base, g, ohW, inkW):
+                ohWc = ohW.astype(gch.dtype)
+                gfW = _gather_T(ohWc, gch, fprec)  # [C, G*T]
+                parts = []
+                for kk in range(g):
+                    h = gfW[:, kk * t:(kk + 1) * t] - dT
+                    inkf = inkW[:, kk * t:(kk + 1) * t].astype(
+                        jnp.float32)
                     contrib = inkf * ((h == hmax) * dmax
-                                      + (h == hmin) * dmin)
+                                      + (h == hmin) * dmin)  # [C, T]
                     dd_ref[...] = dd_ref[...] - contrib
-                    return dg + jax.lax.dot_general(
-                        ohc, contrib.astype(gch.dtype),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32, precision=fprec)
+                    parts.append(contrib.astype(gch.dtype))
+                dgW = (parts[0] if g == 1
+                       else jnp.concatenate(parts, axis=1))
+                dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
+                    ohWc, dgW,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=fprec).astype(dg_ref.dtype)
 
-                dg = jax.lax.fori_loop(0, hi, body,
-                                       jnp.zeros((cs, c), jnp.float32))
-                dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
-        _()
+            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                         body_fn)
+        else:
+            def body(kk, dg):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                         t, start)
+                ohc = oh.astype(gch.dtype)
+                gf = _gather_T(ohc, gch, fprec)
+                h = gf - dT
+                inkf = ink.astype(jnp.float32)
+                contrib = inkf * ((h == hmax) * dmax
+                                  + (h == hmin) * dmin)
+                dd_ref[...] = dd_ref[...] - contrib
+                return dg + jax.lax.dot_general(
+                    ohc, contrib.astype(gch.dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=fprec)
+
+            dg = jax.lax.fori_loop(0, hi, body,
+                                   jnp.zeros((cs, c), jnp.float32))
+            dg_ref[0, pl.ds(start, cs), :] += dg.astype(dg_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -568,37 +564,35 @@ def _max_fwd_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref, out_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            fch = feats_ref[0, pl.ds(start, cs), :]
-            # one-hot gathers are exact at ANY matmul precision (single
-            # nonzero term, f32 accumulation); bf16 DEFAULT is 6x the
-            # MXU rate of f32 HIGHEST
-            prec = (_HI if fch.dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT)
-            if t % 128 == 0:
-                def body_fn(base, g, ohW, inkW):
-                    gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
-                    acc = acc_ref[...]
-                    for kk in range(g):  # static lane slices
-                        gf = gW[:, kk * t:(kk + 1) * t]
-                        ink = inkW[:, kk * t:(kk + 1) * t]
-                        acc = jnp.maximum(acc, jnp.where(ink, gf, -_BIG))
-                    acc_ref[...] = acc
+        start = ci * cs
+        fch = feats_ref[0, pl.ds(start, cs), :]
+        # one-hot gathers are exact at ANY matmul precision (single
+        # nonzero term, f32 accumulation); bf16 DEFAULT is 6x the
+        # MXU rate of f32 HIGHEST
+        prec = (_HI if fch.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        if t % 128 == 0:
+            def body_fn(base, g, ohW, inkW):
+                gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
+                acc = acc_ref[...]
+                for kk in range(g):  # static lane slices
+                    gf = gW[:, kk * t:(kk + 1) * t]
+                    ink = inkW[:, kk * t:(kk + 1) * t]
+                    acc = jnp.maximum(acc, jnp.where(ink, gf, -_BIG))
+                acc_ref[...] = acc
 
-                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
-                             body_fn)
-            else:
-                def body(kk, _):
-                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
-                                             t, start)
-                    gfT = _gather_T(oh.astype(fch.dtype), fch, prec)
-                    acc_ref[...] = jnp.maximum(
-                        acc_ref[...], jnp.where(ink, gfT, -_BIG))
-                    return 0
+            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                         body_fn)
+        else:
+            def body(kk, _):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                         t, start)
+                gfT = _gather_T(oh.astype(fch.dtype), fch, prec)
+                acc_ref[...] = jnp.maximum(
+                    acc_ref[...], jnp.where(ink, gfT, -_BIG))
+                return 0
 
-                jax.lax.fori_loop(0, hi, body, 0)
-        _()
+            jax.lax.fori_loop(0, hi, body, 0)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -625,40 +619,38 @@ def _max_fwd_arg_kernel(feats_ref, idxT_ref, maskT_ref, flags_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            fch = feats_ref[0, pl.ds(start, cs), :]
-            prec = (_HI if fch.dtype == jnp.float32
-                    else jax.lax.Precision.DEFAULT)
-            if t % 128 == 0:
-                def body_fn(base, g, ohW, inkW):
-                    gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
-                    acc, aarg = acc_ref[...], aacc_ref[...]
-                    for kk in range(g):
-                        gf = gW[:, kk * t:(kk + 1) * t]
-                        ink = inkW[:, kk * t:(kk + 1) * t]
-                        gid = (ci * k + base + kk).astype(jnp.float32)
-                        win = ink & (gf > acc)
-                        acc = jnp.where(win, gf, acc)
-                        aarg = jnp.where(win, gid, aarg)
-                    acc_ref[...] = acc
-                    aacc_ref[...] = aarg
+        start = ci * cs
+        fch = feats_ref[0, pl.ds(start, cs), :]
+        prec = (_HI if fch.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        if t % 128 == 0:
+            def body_fn(base, g, ohW, inkW):
+                gW = _gather_T(ohW.astype(fch.dtype), fch, prec)
+                acc, aarg = acc_ref[...], aacc_ref[...]
+                for kk in range(g):
+                    gf = gW[:, kk * t:(kk + 1) * t]
+                    ink = inkW[:, kk * t:(kk + 1) * t]
+                    gid = (ci * k + base + kk).astype(jnp.float32)
+                    win = ink & (gf > acc)
+                    acc = jnp.where(win, gf, acc)
+                    aarg = jnp.where(win, gid, aarg)
+                acc_ref[...] = acc
+                aacc_ref[...] = aarg
 
-                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
-                             body_fn)
-            else:
-                def body(kk, _):
-                    oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
-                                             t, start)
-                    gfT = _gather_T(oh.astype(fch.dtype), fch, prec)
-                    gid = (ci * k + kk).astype(jnp.float32)
-                    win = ink & (gfT > acc_ref[...])
-                    acc_ref[...] = jnp.where(win, gfT, acc_ref[...])
-                    aacc_ref[...] = jnp.where(win, gid, aacc_ref[...])
-                    return 0
+            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                         body_fn)
+        else:
+            def body(kk, _):
+                oh, ink = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                         t, start)
+                gfT = _gather_T(oh.astype(fch.dtype), fch, prec)
+                gid = (ci * k + kk).astype(jnp.float32)
+                win = ink & (gfT > acc_ref[...])
+                acc_ref[...] = jnp.where(win, gfT, acc_ref[...])
+                aacc_ref[...] = jnp.where(win, gid, aacc_ref[...])
+                return 0
 
-                jax.lax.fori_loop(0, hi, body, 0)
-        _()
+            jax.lax.fori_loop(0, hi, body, 0)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -687,45 +679,43 @@ def _max_bwd_kernel(idxT_ref, maskT_ref, argT_ref, dyT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            if t % 128 == 0:
-                def body_fn(base, g, ohW, inkW):
-                    ohWc = ohW.astype(mdt)
-                    # winner ids are globally unique, so one compare
-                    # routes the cotangent; slots won by other chunks
-                    # match nothing
-                    parts = []
-                    for kk in range(g):
-                        gid = (ci * k + base + kk).astype(jnp.float32)
-                        parts.append(dy * (aarg == gid).astype(mdt))
-                    dgW = (parts[0] if g == 1
-                           else jnp.concatenate(parts, axis=1))
-                    dfeats_ref[0, pl.ds(start, cs), :] += (
-                        jax.lax.dot_general(
-                            ohWc, dgW,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec).astype(dfeats_ref.dtype))
-
-                _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
-                             body_fn)
-            else:
-                def body(kk, df):
-                    oh, _ = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
-                                           t, start)
-                    gid = (ci * k + kk).astype(jnp.float32)
-                    return df + jax.lax.dot_general(
-                        oh.astype(mdt), dy * (aarg == gid).astype(mdt),
+        start = ci * cs
+        if t % 128 == 0:
+            def body_fn(base, g, ohW, inkW):
+                ohWc = ohW.astype(mdt)
+                # winner ids are globally unique, so one compare
+                # routes the cotangent; slots won by other chunks
+                # match nothing
+                parts = []
+                for kk in range(g):
+                    gid = (ci * k + base + kk).astype(jnp.float32)
+                    parts.append(dy * (aarg == gid).astype(mdt))
+                dgW = (parts[0] if g == 1
+                       else jnp.concatenate(parts, axis=1))
+                dfeats_ref[0, pl.ds(start, cs), :] += (
+                    jax.lax.dot_general(
+                        ohWc, dgW,
                         dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32, precision=prec)
+                        preferred_element_type=jnp.float32,
+                        precision=prec).astype(dfeats_ref.dtype))
 
-                df = jax.lax.fori_loop(
-                    0, hi, body, jnp.zeros((cs, dfeats_ref.shape[2]),
-                                           jnp.float32))
-                dfeats_ref[0, pl.ds(start, cs), :] += df.astype(
-                    dfeats_ref.dtype)
-        _()
+            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                         body_fn)
+        else:
+            def body(kk, df):
+                oh, _ = _one_hot_chunk(idxT_ref, maskT_ref, kk, cs,
+                                       t, start)
+                gid = (ci * k + kk).astype(jnp.float32)
+                return df + jax.lax.dot_general(
+                    oh.astype(mdt), dy * (aarg == gid).astype(mdt),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+
+            df = jax.lax.fori_loop(
+                0, hi, body, jnp.zeros((cs, dfeats_ref.shape[2]),
+                                       jnp.float32))
+            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(
+                dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -916,50 +906,48 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            gch = g_ref[0, pl.ds(start, cs), :]
-            qch = gsq_ref[0, pl.ds(start, cs), :]
-            fprec = (_HI if gch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            def body_fn(base, g, ohW, inkW):
-                ohWc = ohW.astype(gch.dtype)
-                gfW = _gather_T(ohWc, gch, fprec)  # [C, G*T] f32
-                hmax, hmin = hmax_ref[...], hmin_ref[...]
-                amax, amin = amaxa_ref[...], amina_ref[...]
-                s1 = s1a_ref[...]
-                m = ohWc[:, 0:t]
-                for kk in range(g):
-                    gf = gfW[:, kk * t:(kk + 1) * t]
-                    ink = inkW[:, kk * t:(kk + 1) * t]
-                    gid = (ci * k + base + kk).astype(jnp.float32)
-                    # strict compares keep the FIRST extremum: the
-                    # winning global slot id routes the backward
-                    winx = ink & (gf > hmax)
-                    hmax = jnp.where(winx, gf, hmax)
-                    amax = jnp.where(winx, gid, amax)
-                    winn = ink & (gf < hmin)
-                    hmin = jnp.where(winn, gf, hmin)
-                    amin = jnp.where(winn, gid, amin)
-                    s1 = s1 + gf  # masked one-hot: invalid adds 0
-                    if kk:
-                        m = m + ohWc[:, kk * t:(kk + 1) * t]
-                hmax_ref[...], hmin_ref[...] = hmax, hmin
-                amaxa_ref[...], amina_ref[...] = amax, amin
-                s1a_ref[...] = s1
-                if base == 0:  # first call per chunk: scratch reset
-                    m_ref[...] = m.astype(m_ref.dtype)
-                else:
-                    m_ref[...] += m.astype(m_ref.dtype)
+        start = ci * cs
+        gch = g_ref[0, pl.ds(start, cs), :]
+        qch = gsq_ref[0, pl.ds(start, cs), :]
+        fprec = (_HI if gch.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        def body_fn(base, g, ohW, inkW):
+            ohWc = ohW.astype(gch.dtype)
+            gfW = _gather_T(ohWc, gch, fprec)  # [C, G*T] f32
+            hmax, hmin = hmax_ref[...], hmin_ref[...]
+            amax, amin = amaxa_ref[...], amina_ref[...]
+            s1 = s1a_ref[...]
+            m = ohWc[:, 0:t]
+            for kk in range(g):
+                gf = gfW[:, kk * t:(kk + 1) * t]
+                ink = inkW[:, kk * t:(kk + 1) * t]
+                gid = (ci * k + base + kk).astype(jnp.float32)
+                # strict compares keep the FIRST extremum: the
+                # winning global slot id routes the backward
+                winx = ink & (gf > hmax)
+                hmax = jnp.where(winx, gf, hmax)
+                amax = jnp.where(winx, gid, amax)
+                winn = ink & (gf < hmin)
+                hmin = jnp.where(winn, gf, hmin)
+                amin = jnp.where(winn, gid, amin)
+                s1 = s1 + gf  # masked one-hot: invalid adds 0
+                if kk:
+                    m = m + ohWc[:, kk * t:(kk + 1) * t]
+            hmax_ref[...], hmin_ref[...] = hmax, hmin
+            amaxa_ref[...], amina_ref[...] = amax, amin
+            s1a_ref[...] = s1
+            if base == 0:  # first call per chunk: scratch reset
+                m_ref[...] = m.astype(m_ref.dtype)
+            else:
+                m_ref[...] += m.astype(m_ref.dtype)
 
-            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
-                         body_fn)
-            # ONE s2 matmul per chunk over the accumulated multi-hot
-            s2a_ref[...] = s2a_ref[...] + jax.lax.dot_general(
-                qch, m_ref[...].astype(qch.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=fprec)
-        _()
+        _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                     body_fn)
+        # ONE s2 matmul per chunk over the accumulated multi-hot
+        s2a_ref[...] = s2a_ref[...] + jax.lax.dot_general(
+            qch, m_ref[...].astype(qch.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=fprec)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -996,47 +984,45 @@ def _pwstats_bwd_kernel(idxT_ref, maskT_ref, amaxT_ref, aminT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            ds1 = ds1T_ref[0].astype(mdt)  # [C, T]
-            ds2 = ds2T_ref[0].astype(mdt)
+        start = ci * cs
+        ds1 = ds1T_ref[0].astype(mdt)  # [C, T]
+        ds2 = ds2T_ref[0].astype(mdt)
 
-            def body_fn(base, g, ohW, inkW):
-                ohWc = ohW.astype(mdt)
-                # winner ids are globally unique: one compare per
-                # extremum routes the cotangent — no feature re-gather
-                parts = []
-                m = ohWc[:, 0:t]
-                for kk in range(g):
-                    gid = (ci * k + base + kk).astype(jnp.float32)
-                    contrib = (dmax * (amax == gid).astype(mdt)
-                               + dmin * (amin == gid).astype(mdt))
-                    parts.append(contrib)
-                    if kk:
-                        m = m + ohWc[:, kk * t:(kk + 1) * t]
-                dgW = (parts[0] if g == 1
-                       else jnp.concatenate(parts, axis=1))
-                dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
-                    ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=fprec).astype(dg_ref.dtype)
-                if base == 0:  # first call per chunk: scratch reset
-                    m_ref[...] = m
-                else:
-                    m_ref[...] += m
-
-            _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
-                         body_fn)
-            m = m_ref[...]
+        def body_fn(base, g, ohW, inkW):
+            ohWc = ohW.astype(mdt)
+            # winner ids are globally unique: one compare per
+            # extremum routes the cotangent — no feature re-gather
+            parts = []
+            m = ohWc[:, 0:t]
+            for kk in range(g):
+                gid = (ci * k + base + kk).astype(jnp.float32)
+                contrib = (dmax * (amax == gid).astype(mdt)
+                           + dmin * (amin == gid).astype(mdt))
+                parts.append(contrib)
+                if kk:
+                    m = m + ohWc[:, kk * t:(kk + 1) * t]
+            dgW = (parts[0] if g == 1
+                   else jnp.concatenate(parts, axis=1))
             dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
-                m, ds1, dimension_numbers=(((1,), (1,)), ((), ())),
+                ohWc, dgW, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=fprec).astype(dg_ref.dtype)
-            dq_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
-                m, ds2, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=fprec).astype(dq_ref.dtype)
-        _()
+            if base == 0:  # first call per chunk: scratch reset
+                m_ref[...] = m
+            else:
+                m_ref[...] += m
+
+        _slot_groups(idxT_ref, maskT_ref, k, cs, t, start, hi,
+                     body_fn)
+        m = m_ref[...]
+        dg_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
+            m, ds1, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=fprec).astype(dg_ref.dtype)
+        dq_ref[0, pl.ds(start, cs), :] += jax.lax.dot_general(
+            m, ds2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=fprec).astype(dq_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)

@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
     _chunk_lists,
+    _hi_slot,
     _common_specs,
     _lists_spec,
     _interpret,
@@ -52,6 +53,7 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     inv_r = 1.0 / radius
     qT = qxyzT_ref[0]
     trow = pl.program_id(1) % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
     # valid-neighbor count == mask row-sum (chunk-independent)
     cnt_ref[...] = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
@@ -60,29 +62,28 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            sx = sxyz_ref[0, pl.ds(start, cs), :]
-            fch = feats_ref[0, pl.ds(start, cs), :]
-            # bf16 features: single-pass bf16 MXU matmuls (d=0's pure
-            # multi-hot is exact; delta weights quantize like any bf16
-            # operand); f32 features keep full precision.
-            fprec = (_HI if fch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            outs = []
-            for d in range(4):
-                if d == 0:
-                    w = m
-                else:
-                    delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
-                    w = m * delta
-                outs.append(jax.lax.dot_general(
-                    fch, w.astype(fch.dtype),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=fprec))
-            acc_ref[...] = acc_ref[...] + jnp.concatenate(outs, axis=0)
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]
+        fch = feats_ref[0, pl.ds(start, cs), :]
+        # bf16 features: single-pass bf16 MXU matmuls (d=0's pure
+        # multi-hot is exact; delta weights quantize like any bf16
+        # operand); f32 features keep full precision.
+        fprec = (_HI if fch.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        outs = []
+        for d in range(4):
+            if d == 0:
+                w = m
+            else:
+                delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
+                w = m * delta
+            outs.append(jax.lax.dot_general(
+                fch, w.astype(fch.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=fprec))
+        acc_ref[...] = acc_ref[...] + jnp.concatenate(outs, axis=0)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -101,6 +102,7 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
     inv_r = 1.0 / radius
     qT = qxyzT_ref[0]
     trow = tile % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
 
     @pl.when(tile == 0)
     def _():
@@ -120,24 +122,23 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            sx = sxyz_ref[0, pl.ds(start, cs), :]
-            df = jnp.zeros((cs, channels), jnp.float32)
-            for d in range(4):
-                if d == 0:
-                    w = m
-                else:
-                    delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
-                    w = m * delta
-                df = df + jax.lax.dot_general(
-                    w.astype(dy0.dtype),
-                    dy0[d * channels:(d + 1) * channels, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=dprec)
-            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]
+        df = jnp.zeros((cs, channels), jnp.float32)
+        for d in range(4):
+            if d == 0:
+                w = m
+            else:
+                delta = (sx[:, d - 1:d] - qT[d - 1:d, :]) * inv_r
+                w = m * delta
+            df = df + jax.lax.dot_general(
+                w.astype(dy0.dtype),
+                dy0[d * channels:(d + 1) * channels, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=dprec)
+        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)

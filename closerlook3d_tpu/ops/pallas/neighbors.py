@@ -212,69 +212,67 @@ def _bq_chunked_kernel(qxyzT_ref, sxyz_ref, qmaskT_ref, flags_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
-            d2c = None  # exact f32 outer-difference, all VPU
-            for d in range(3):
-                diff = sx[:, d:d + 1] - qT[d:d + 1, :]  # [cs, T]
-                d2c = diff * diff if d2c is None else d2c + diff * diff
-            r2 = radius * radius
-            # per-query best candidate this chunk; bbox pruning is a
-            # lower bound, so chunks can pass the flag yet hold nothing
-            # in radius for any query -> skip the merge outright
-            cmin = jnp.min(d2c, axis=0, keepdims=True)  # [1, T]
+        start = ci * cs
+        sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+        d2c = None  # exact f32 outer-difference, all VPU
+        for d in range(3):
+            diff = sx[:, d:d + 1] - qT[d:d + 1, :]  # [cs, T]
+            d2c = diff * diff if d2c is None else d2c + diff * diff
+        r2 = radius * radius
+        # per-query best candidate this chunk; bbox pruning is a
+        # lower bound, so chunks can pass the flag yet hold nothing
+        # in radius for any query -> skip the merge outright
+        cmin = jnp.min(d2c, axis=0, keepdims=True)  # [1, T]
 
-            @pl.when(jnp.min(cmin) <= r2)
-            def _merge():
-                rd2 = rd2_ref[...]  # [KP, T]
-                prev_i = ridx_ref[...]
-                # running-list prefix already better than anything this
-                # chunk offers keeps its slots: skip those passes (cuts
-                # the re-extraction cost from ~K per chunk to ~#new)
-                keep = jnp.min(
-                    jnp.sum((rd2 < cmin).astype(jnp.int32), axis=0))
-                comb_ref[...] = jnp.where(
-                    iota_w < keep, _BIG,
-                    jnp.concatenate([rd2, d2c], axis=0))
-                pidx_ref[...] = prev_i  # old list; ridx mutates below
-                rd2_ref[...] = jnp.where(iota_k < keep, rd2, _BIG)
-                ridx_ref[...] = jnp.where(iota_k < keep, prev_i, 0)
+        @pl.when(jnp.min(cmin) <= r2)
+        def _merge():
+            rd2 = rd2_ref[...]  # [KP, T]
+            prev_i = ridx_ref[...]
+            # running-list prefix already better than anything this
+            # chunk offers keeps its slots: skip those passes (cuts
+            # the re-extraction cost from ~K per chunk to ~#new)
+            keep = jnp.min(
+                jnp.sum((rd2 < cmin).astype(jnp.int32), axis=0))
+            comb_ref[...] = jnp.where(
+                iota_w < keep, _BIG,
+                jnp.concatenate([rd2, d2c], axis=0))
+            pidx_ref[...] = prev_i  # old list; ridx mutates below
+            rd2_ref[...] = jnp.where(iota_k < keep, rd2, _BIG)
+            ridx_ref[...] = jnp.where(iota_k < keep, prev_i, 0)
 
-                def cond(carry):
-                    kk, go = carry
-                    return (kk < k) & go
+            def cond(carry):
+                kk, go = carry
+                return (kk < k) & go
 
-                def body(carry):
-                    kk, _ = carry
-                    comb_d = comb_ref[...]
-                    dmin = jnp.min(comb_d, axis=0, keepdims=True)
-                    # lowest-position tiebreak == lowest-index (rd2
-                    # entries precede the chunk, insertion-ordered)
-                    pos = jnp.min(jnp.where(comb_d == dmin, iota_w, w),
-                                  axis=0, keepdims=True)
-                    # merged index: old-list slot (from the preserved
-                    # copy) or a chunk candidate (position-derived)
-                    vprev = jnp.sum(
-                        jnp.where(iota_k == pos, pidx_ref[...], 0),
-                        axis=0, keepdims=True)
-                    vi = jnp.where(pos < kp, vprev, pos - kp + start)
-                    sel_k = iota_k == kk
-                    # unconditional writes: slot 0 must hold the
-                    # NEAREST index even out of radius (the shadow-pad
-                    # convention), and validity is re-derived from
-                    # rd2 <= r2 at the end
-                    rd2_ref[...] = jnp.where(sel_k, dmin, rd2_ref[...])
-                    ridx_ref[...] = jnp.where(sel_k, vi, ridx_ref[...])
-                    comb_ref[...] = jnp.where(iota_w == pos, _BIG,
-                                              comb_d)
-                    # once every query's minimum is out of radius,
-                    # further slots can only be invalid (then shadow-
-                    # padded): stop. Work tracks real neighbor counts.
-                    return kk + 1, jnp.any(dmin <= r2)
+            def body(carry):
+                kk, _ = carry
+                comb_d = comb_ref[...]
+                dmin = jnp.min(comb_d, axis=0, keepdims=True)
+                # lowest-position tiebreak == lowest-index (rd2
+                # entries precede the chunk, insertion-ordered)
+                pos = jnp.min(jnp.where(comb_d == dmin, iota_w, w),
+                              axis=0, keepdims=True)
+                # merged index: old-list slot (from the preserved
+                # copy) or a chunk candidate (position-derived)
+                vprev = jnp.sum(
+                    jnp.where(iota_k == pos, pidx_ref[...], 0),
+                    axis=0, keepdims=True)
+                vi = jnp.where(pos < kp, vprev, pos - kp + start)
+                sel_k = iota_k == kk
+                # unconditional writes: slot 0 must hold the
+                # NEAREST index even out of radius (the shadow-pad
+                # convention), and validity is re-derived from
+                # rd2 <= r2 at the end
+                rd2_ref[...] = jnp.where(sel_k, dmin, rd2_ref[...])
+                ridx_ref[...] = jnp.where(sel_k, vi, ridx_ref[...])
+                comb_ref[...] = jnp.where(iota_w == pos, _BIG,
+                                          comb_d)
+                # once every query's minimum is out of radius,
+                # further slots can only be invalid (then shadow-
+                # padded): stop. Work tracks real neighbor counts.
+                return kk + 1, jnp.any(dmin <= r2)
 
-                jax.lax.while_loop(cond, body, (keep, True))
-        _()
+            jax.lax.while_loop(cond, body, (keep, True))
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, nchunks], chunk_body, 0)
@@ -374,7 +372,7 @@ def _tile_chunked_bq(nq: int) -> int:
 # TPU sweep (S3DIS stage-0, 4x15360, K=26): tile 128 + cs 512 won on
 # both uniform and surface-like clouds; smaller chunks lose to per-chunk
 # fixed cost, larger tiles to looser bboxes.
-_BQ_TILE = int(__import__("os").environ.get("CL3D_BQ_TILE", "128"))
+_BQ_TILE = int(os.environ.get("CL3D_BQ_TILE", "128"))
 
 
 # --------------------------------------------------------------------------
@@ -434,22 +432,20 @@ def _knn1_chunked_kernel(qxyzT_ref, sxyz_ref, flags_ref, idx_ref, d2_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
-            d2c = None
-            for d in range(3):
-                diff = sx[:, d:d + 1] - qT[d:d + 1, :]  # [cs, T]
-                d2c = diff * diff if d2c is None else d2c + diff * diff
-            cmin = jnp.min(d2c, axis=0, keepdims=True)  # [1, T]
-            cand = jnp.min(jnp.where(d2c == cmin, iota_cs + start,
-                                     jnp.int32(2**30)),
-                           axis=0, keepdims=True)
-            # strict < keeps the earlier (lower-index) chunk on ties
-            upd = cmin < bd_ref[...]
-            bi_ref[...] = jnp.where(upd, cand, bi_ref[...])
-            bd_ref[...] = jnp.where(upd, cmin, bd_ref[...])
-        _()
+        start = ci * cs
+        sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+        d2c = None
+        for d in range(3):
+            diff = sx[:, d:d + 1] - qT[d:d + 1, :]  # [cs, T]
+            d2c = diff * diff if d2c is None else d2c + diff * diff
+        cmin = jnp.min(d2c, axis=0, keepdims=True)  # [1, T]
+        cand = jnp.min(jnp.where(d2c == cmin, iota_cs + start,
+                                 jnp.int32(2**30)),
+                       axis=0, keepdims=True)
+        # strict < keeps the earlier (lower-index) chunk on ties
+        upd = cmin < bd_ref[...]
+        bi_ref[...] = jnp.where(upd, cand, bi_ref[...])
+        bd_ref[...] = jnp.where(upd, cmin, bd_ref[...])
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, nchunks], chunk_body, 0)

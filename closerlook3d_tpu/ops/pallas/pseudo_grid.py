@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from closerlook3d_tpu.ops.pallas.aggregation import (
     _NS_CHUNK,
     _chunk_lists,
+    _hi_slot,
     _lists_spec,
     _interpret,
     _multi_hot_chunk,
@@ -82,6 +83,7 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     trow = pl.program_id(1) % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     qT = qxyzT_ref[0]
     inv_r = 1.0 / radius
     acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
@@ -89,34 +91,33 @@ def _fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
-            fch = feats_ref[0, pl.ds(start, cs), :]
-            # bf16 features: bf16 x bf16 single-pass MXU matmuls (the
-            # influence weights tolerate bf16 like every other bf16 op);
-            # f32 features keep full precision (parity tests).
-            fprec = (_HI if fch.dtype == jnp.float32
-                     else jax.lax.Precision.DEFAULT)
-            dps = [(sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
-                   for d in range(3)]  # 3 x [cs, T]
-            # stack the Kp influence-weighted multi-hots along lanes
-            # (T is a 128 multiple, so the concat is alignment-free)
-            # and run ONE [cs,C]x[cs,Kp*T] MXU matmul — Kp separate
-            # matmuls are launch-bound
-            w = jnp.concatenate(
-                [m * _influence_cs(dps, kp_ref, p, extent, mode)
-                 for p in range(kpn)], axis=1)  # [cs, Kp*T]
-            outW = jax.lax.dot_general(
-                fch, w.astype(fch.dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=fprec)  # [C, Kp*T]
-            for p in range(kpn):
-                acc_ref[p * channels:(p + 1) * channels, :] += (
-                    outW[:, p * t:(p + 1) * t])
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
+        fch = feats_ref[0, pl.ds(start, cs), :]
+        # bf16 features: bf16 x bf16 single-pass MXU matmuls (the
+        # influence weights tolerate bf16 like every other bf16 op);
+        # f32 features keep full precision (parity tests).
+        fprec = (_HI if fch.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+        dps = [(sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
+               for d in range(3)]  # 3 x [cs, T]
+        # stack the Kp influence-weighted multi-hots along lanes
+        # (T is a 128 multiple, so the concat is alignment-free)
+        # and run ONE [cs,C]x[cs,Kp*T] MXU matmul — Kp separate
+        # matmuls are launch-bound
+        w = jnp.concatenate(
+            [m * _influence_cs(dps, kp_ref, p, extent, mode)
+             for p in range(kpn)], axis=1)  # [cs, Kp*T]
+        outW = jax.lax.dot_general(
+            fch, w.astype(fch.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=fprec)  # [C, Kp*T]
+        for p in range(kpn):
+            acc_ref[p * channels:(p + 1) * channels, :] += (
+                outW[:, p * t:(p + 1) * t])
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -130,6 +131,7 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
     trow = tile % 8
+    hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     qT = qxyzT_ref[0]
     inv_r = 1.0 / radius
     dy = dyT_ref[0]  # [Kp*C, T]
@@ -142,26 +144,25 @@ def _bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, kp_ref, dyT_ref,
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
 
-        def _():
-            start = ci * cs
-            m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start)
-            sx = sxyz_ref[0, pl.ds(start, cs), :]
-            dps = [(sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
-                   for d in range(3)]
-            # same stacking as the forward: one [cs,Kp*T]x[C,Kp*T]
-            # contraction over Kp*T instead of Kp launch-bound matmuls
-            w = jnp.concatenate(
-                [m * _influence_cs(dps, kp_ref, p, extent, mode)
-                 for p in range(kpn)], axis=1)  # [cs, Kp*T]
-            dyW = jnp.concatenate(
-                [dy[p * channels:(p + 1) * channels, :]
-                 for p in range(kpn)], axis=1)  # [C, Kp*T]
-            df = jax.lax.dot_general(
-                w.astype(dy.dtype), dyW,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=dprec)
-            dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
-        _()
+        start = ci * cs
+        m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
+                             hi)
+        sx = sxyz_ref[0, pl.ds(start, cs), :]
+        dps = [(sx[:, d:d + 1] - qT[d:d + 1, :]) * inv_r
+               for d in range(3)]
+        # same stacking as the forward: one [cs,Kp*T]x[C,Kp*T]
+        # contraction over Kp*T instead of Kp launch-bound matmuls
+        w = jnp.concatenate(
+            [m * _influence_cs(dps, kp_ref, p, extent, mode)
+             for p in range(kpn)], axis=1)  # [cs, Kp*T]
+        dyW = jnp.concatenate(
+            [dy[p * channels:(p + 1) * channels, :]
+             for p in range(kpn)], axis=1)  # [C, Kp*T]
+        df = jax.lax.dot_general(
+            w.astype(dy.dtype), dyW,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=dprec)
+        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)

@@ -133,3 +133,32 @@ def test_prefetch_iterator_matches_and_reraises():
 
     with pytest.raises(RuntimeError, match="producer boom"):
         list(PrefetchIterator(_Boom()))
+
+
+def test_prefetch_iterator_abandoned_consumer_stops_producer():
+    """Abandoning the generator (next() once, then drop) must not leave
+    the producer thread blocked forever pinning batches."""
+    import threading
+    import time
+
+    from closerlook3d_tpu.data.loader import PrefetchIterator
+
+    class _Slow:
+        def __len__(self):
+            return 50
+
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            for i in range(50):
+                yield {"i": i}
+
+    before = threading.active_count()
+    it = iter(PrefetchIterator(_Slow()))
+    assert next(it)["i"] == 0
+    it.close()  # GeneratorExit -> finally -> stop + join
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -17,15 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def bench(fn, *args, iters=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+from tools.timing import bench_ms
 
 
 def main():
@@ -50,15 +41,15 @@ def main():
     f = jax.jit(lambda q, s: ball_query_pallas_chunked(q, s, radius, k))
     idx, mask = f(qxyz, sxyz)
     print("mean neighbors:", float(jnp.sum(mask)) / (b * nq))
-    print(f"bq: {bench(f, qxyz, sxyz):.3f} ms")
+    print(f"bq: {bench_ms(f, (qxyz, sxyz), iters=30):.3f} ms")
 
     f0 = jax.jit(lambda q, s: ball_query_pallas_chunked(q, s, 1e-4, k))
-    print(f"bq tiny-radius (grid+flag overhead): {bench(f0, qxyz, sxyz):.3f} ms")
+    print(f"bq tiny-radius (grid+flag overhead): {bench_ms(f0, (qxyz, sxyz), iters=30):.3f} ms")
 
     fbig = jax.jit(lambda q, s: ball_query_pallas_chunked(q, s, 0.4, k))
     idx, mask = fbig(qxyz, sxyz)
     print("0.4-radius mean neighbors:", float(jnp.sum(mask)) / (b * nq))
-    print(f"bq r=0.4 (denser): {bench(fbig, qxyz, sxyz):.3f} ms")
+    print(f"bq r=0.4 (denser): {bench_ms(fbig, (qxyz, sxyz), iters=30):.3f} ms")
 
 
 if __name__ == "__main__":
