@@ -392,11 +392,20 @@ def _xyz_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, dyT_ref,
 #
 # so the slot sum collapses into the masked multi-hot exactly as in xyz
 # mode: per chunk, TWO [C,cs]x[cs,T] MXU matmuls of trig-modulated
-# features replace the k-slot gather+sincos loop. Angles are recentred
-# on the chunk's first support point to keep |U|,|V| small for queries
-# that matter (M[s,t]=0 kills the rest), bounding f32 trig
-# argument-reduction error (identity reassociation costs ~1e-4 absolute
-# vs the direct small-angle form — invisible under bf16 training).
+# features replace the k-slot gather+sincos loop.
+#
+# With a GLOBAL angle origin (absolute coordinates), the support-side
+# trig modulation g1 = f·(sel·sinU + (1−sel)·cosU), g2 = f·((1−sel)·
+# sinU − sel·cosU) depends on nothing tile- or chunk-local, so it moves
+# OUT of the kernel into one fused XLA pass per block (CSE'd across a
+# stage's blocks: U depends only on support positions). The kernel body
+# is then just multi-hot + two MXU matmuls per chunk, with the
+# query-side trig (sinV/cosV [C,T]) and the combine cosV·acc1 +
+# sinV·acc2 running ONCE per tile. Identity reassociation on absolute
+# angles (≤ α·extent/r ≈ 4e3 rad at S3DIS stage 1) costs ~5e-4
+# absolute vs the direct small-angle form — f32 argument-reduction ulp,
+# invisible under bf16 training; the interpret-mode parity test pins
+# the f32 bound.
 # --------------------------------------------------------------------------
 
 
@@ -427,36 +436,28 @@ def _sincos_coefT(channels: int) -> "np.ndarray":
     return np.ascontiguousarray(_sincos_coef(channels)[:3].T)
 
 
-def _sc_chunk_trig(sxyz_ref, qT, coef_ref, coefT_ref, start, cs: int,
-                   inv_r: float):
-    """Per-chunk recentred angle trig: (sinU, cosU [cs,C], sinV, cosV
-    [C,T]) for the chunk's supports and this tile's queries.
+def _sc_tile_trig_v(qT, coefT_ref, inv_r: float):
+    """Tile-invariant query-side angle trig: (sinV, cosV), each [C, T].
 
-    The chunk origin o (first support point) recentres both angle sets.
-    The frequency matrix A has exactly one nonzero per channel (the
-    channel's coordinate), so the angle "matmuls" are really selector
-    broadcasts: U = Σ_d ((s_d − o_d)/r)·A[d,:], V = Σ_d Aᵀ[:,d]·
-    ((q_d − o_d)/r) — pure VPU outer products instead of two 3/4-wide
-    MXU contractions (which pad to 128 and run 6 HIGHEST passes).
+    Absolute-coordinate angles (origin 0 — shared with the XLA-side
+    support modulation, the identity sin/cos(u−v) needs one origin).
+    The frequency matrix has exactly one nonzero per channel (the
+    channel's coordinate), so the angle "matmul" is really a selector
+    broadcast: V = Σ_d Aᵀ[:,d]·(q_d/r) — pure VPU outer products
+    instead of a 3/4-wide MXU contraction (which pads to 128 and runs
+    6 HIGHEST passes).
     """
-    sx = sxyz_ref[0, pl.ds(start, cs), :]  # [cs, 3]
-    o = sxyz_ref[0, pl.ds(start, 1), :]    # [1, 3] chunk origin
-    A = coef_ref[0, 0:3, :]                # [3, C]
-    u = None
     v = None
     for d in range(3):
-        su = (sx[:, d:d + 1] - o[:, d:d + 1]) * inv_r    # [cs, 1]
-        ud = su * A[d:d + 1, :]                          # [cs, C]
-        u = ud if u is None else u + ud
-        qv = (qT[d:d + 1, :] - o[:, d:d + 1]) * inv_r    # [1, T]
+        qv = qT[d:d + 1, :] * inv_r                      # [1, T]
         vd = coefT_ref[0, :, d:d + 1] * qv               # [C, T]
         v = vd if v is None else v + vd
-    return jnp.sin(u), jnp.cos(u), jnp.sin(v), jnp.cos(v)
+    return jnp.sin(v), jnp.cos(v)
 
 
-def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
-                   coef_ref, coefT_ref, flags_ref, out_ref, acc_ref,
-                   cnt_ref, *, k: int, ns: int, channels: int,
+def _sc_fwd_kernel(qxyzT_ref, g1_ref, g2_ref, idxT_ref, maskT_ref,
+                   coefT_ref, flags_ref, out_ref, acc1_ref,
+                   acc2_ref, cnt_ref, *, k: int, ns: int, channels: int,
                    radius: float, reduction: str):
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
@@ -464,11 +465,11 @@ def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
     hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     qT = qxyzT_ref[0]  # [3, T]
     inv_r = 1.0 / radius
-    acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    acc1_ref[...] = jnp.zeros(acc1_ref.shape, acc1_ref.dtype)
+    acc2_ref[...] = jnp.zeros(acc2_ref.shape, acc2_ref.dtype)
     # valid-neighbor count == mask row-sum (chunk-independent)
     cnt_ref[...] = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
                            keepdims=True)
-    s_sel = coef_ref[0, 3:4, :]  # [1, C] 1=sin-channel
 
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
@@ -476,43 +477,37 @@ def _sc_fwd_kernel(qxyzT_ref, sxyz_ref, feats_ref, idxT_ref, maskT_ref,
         start = ci * cs
         m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
                              hi)
-        fch = feats_ref[0, pl.ds(start, cs), :]
-        # bf16 features: modulate in f32, then single-pass bf16 MXU
-        # matmuls with f32 accumulation (multi-hot is exact; the
-        # modulated operand quantizes like any bf16 input)
-        fprec = (_HI if fch.dtype == jnp.float32
+        f1 = g1_ref[0, pl.ds(start, cs), :]  # trig-modulated features
+        f2 = g2_ref[0, pl.ds(start, cs), :]
+        # bf16 streams ride single-pass bf16 MXU matmuls with f32
+        # accumulation (multi-hot is exact; the modulated operands
+        # quantize like any bf16 input); f32 keeps full precision
+        fprec = (_HI if f1.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-        fch32 = fch.astype(jnp.float32)
-        sinU, cosU, sinV, cosV = _sc_chunk_trig(
-            sxyz_ref, qT, coef_ref, coefT_ref, start, cs, inv_r)
-        # y_sin = cosV·Σ f sinU − sinV·Σ f cosU
-        # y_cos = cosV·Σ f cosU + sinV·Σ f sinU
-        g1 = (fch32 * (s_sel * sinU + (1.0 - s_sel) * cosU)).astype(
-            fch.dtype)
-        g2 = (fch32 * ((1.0 - s_sel) * sinU - s_sel * cosU)).astype(
-            fch.dtype)
-        mc = m.astype(fch.dtype)
-        mg1 = jax.lax.dot_general(
-            g1, mc, dimension_numbers=(((0,), (0,)), ((), ())),
+        mc = m.astype(f1.dtype)
+        acc1_ref[...] = acc1_ref[...] + jax.lax.dot_general(
+            f1, mc, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=fprec)
-        mg2 = jax.lax.dot_general(
-            g2, mc, dimension_numbers=(((0,), (0,)), ((), ())),
+        acc2_ref[...] = acc2_ref[...] + jax.lax.dot_general(
+            f2, mc, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=fprec)
-        acc_ref[...] = acc_ref[...] + cosV * mg1 + sinV * mg2
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
-    acc = acc_ref[...]
+    # y_sin = cosV·Σ f sinU − sinV·Σ f cosU
+    # y_cos = cosV·Σ f cosU + sinV·Σ f sinU  (signs live in g1/g2)
+    # — tile-invariant combine: ONE pass, not one per active chunk
+    sinV, cosV = _sc_tile_trig_v(qT, coefT_ref, inv_r)
+    acc = cosV * acc1_ref[...] + sinV * acc2_ref[...]
     if reduction == "avg":
         acc = acc / jnp.maximum(cnt_ref[...], 1.0)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
-                   coefT_ref, dyT_ref, flags_ref, dfeats_ref, cnt_ref,
+def _sc_bwd_kernel(qxyzT_ref, idxT_ref, maskT_ref, coefT_ref, dyT_ref,
+                   flags_ref, dg1_ref, dg2_ref,
                    *, k: int, ns: int, channels: int, radius: float,
                    reduction: str):
-    del cnt_ref  # the masked count is chunk-independent (mask rows only)
     tile = pl.program_id(1)
     t = qxyzT_ref.shape[2]
     cs = min(ns, _NS_CHUNK)
@@ -520,7 +515,6 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
     hi = _hi_slot(maskT_ref, k, t)  # hoisted: tile-invariant
     qT = qxyzT_ref[0]
     inv_r = 1.0 / radius
-    s_sel = coef_ref[0, 3:4, :]
 
     dy0 = dyT_ref[0]  # [C, T]
     ddt = dy0.dtype
@@ -530,10 +524,16 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
         cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0,
                       keepdims=True)
         dy = dy / jnp.maximum(cnt, 1.0)
+    # dy modulations are tile-invariant: hoisted. The dg1/dg2 → df
+    # chain (⊙ the support-side trig) runs outside in XLA autodiff.
+    sinV, cosV = _sc_tile_trig_v(qT, coefT_ref, inv_r)
+    dyc = (cosV * dy).astype(ddt)
+    dys = (sinV * dy).astype(ddt)
 
     @pl.when(tile == 0)
     def _():
-        dfeats_ref[0] = jnp.zeros_like(dfeats_ref[0])
+        dg1_ref[0] = jnp.zeros_like(dg1_ref[0])
+        dg2_ref[0] = jnp.zeros_like(dg2_ref[0])
 
     def chunk_body(j, _):
         ci = flags_ref[0, trow, j]  # packed active-chunk list
@@ -541,20 +541,15 @@ def _sc_bwd_kernel(qxyzT_ref, sxyz_ref, idxT_ref, maskT_ref, coef_ref,
         start = ci * cs
         m = _multi_hot_chunk(idxT_ref, maskT_ref, k, cs, t, start,
                              hi)
-        sinU, cosU, sinV, cosV = _sc_chunk_trig(
-            sxyz_ref, qT, coef_ref, coefT_ref, start, cs, inv_r)
         mc = m.astype(ddt)
         p = jax.lax.dot_general(
-            mc, (cosV * dy).astype(ddt),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            mc, dyc, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=dprec)
         q = jax.lax.dot_general(
-            mc, (sinV * dy).astype(ddt),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            mc, dys, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=dprec)
-        df = ((s_sel * sinU + (1.0 - s_sel) * cosU) * p
-              + ((1.0 - s_sel) * sinU - s_sel * cosU) * q)
-        dfeats_ref[0, pl.ds(start, cs), :] += df.astype(dfeats_ref.dtype)
+        dg1_ref[0, pl.ds(start, cs), :] += p.astype(dg1_ref.dtype)
+        dg2_ref[0, pl.ds(start, cs), :] += q.astype(dg2_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
@@ -594,34 +589,61 @@ def pospool_fused(query_xyz, support_xyz, features, idx, mask,
     ns, c = features.shape[1], features.shape[2]
     if _fold_batch(nq, b):
         off = (jnp.arange(b, dtype=idx.dtype) * ns)[:, None, None]
-        out = _pospool_vjp(
+        out = _pospool_dispatch(
             query_xyz.reshape(1, b * nq, 3),
             support_xyz.reshape(1, b * ns, 3),
             features.reshape(1, b * ns, c),
             (idx + off).reshape(1, b * nq, k),
             mask.reshape(1, b * nq, k), radius, mode, reduction)
         return out.reshape(b, nq, -1)
-    return _pospool_vjp(query_xyz, support_xyz, features, idx, mask,
-                        radius, mode, reduction)
+    return _pospool_dispatch(query_xyz, support_xyz, features, idx, mask,
+                             radius, mode, reduction)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _pospool_dispatch(query_xyz, support_xyz, features, idx, mask,
+                      radius, mode: str, reduction: str):
+    if mode == "xyz":
+        return _pospool_vjp(query_xyz, support_xyz, features, idx, mask,
+                            radius, reduction)
+    if mode != "sin_cos":
+        raise ValueError(mode)
+    # XLA-side support modulation (see the sin_cos block comment): the
+    # trig of U = A·s/r depends only on support positions — identical
+    # across a stage's blocks, so XLA CSEs it; the feature products are
+    # fused elementwise. Gradients to `features` chain through here by
+    # ordinary autodiff (the kernel's VJP stops at dg1/dg2).
+    c = features.shape[2]
+    coef = _sincos_coef(c)
+    ang = jax.lax.dot_general(
+        support_xyz.astype(jnp.float32) * jnp.float32(1.0 / radius),
+        jnp.asarray(coef[:3]),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=_HI)  # [B, Ns, C]
+    s_sel = jnp.asarray(coef[3:4]) != 0
+    su, cu = jnp.sin(ang), jnp.cos(ang)
+    f32 = features.astype(jnp.float32)
+    g1 = (f32 * jnp.where(s_sel, su, cu)).astype(features.dtype)
+    g2 = (f32 * jnp.where(s_sel, -cu, su)).astype(features.dtype)
+    return _sc2_vjp(query_xyz, g1, g2, idx, mask, radius, reduction)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _pospool_vjp(query_xyz, support_xyz, features, idx, mask,
-                  radius: float, mode: str = "xyz",
-                  reduction: str = "avg"):
-    """Fused PosPool: [B, Nq, C] from padded neighborhoods.
+                  radius: float, reduction: str = "avg"):
+    """Fused xyz-mode PosPool: [B, Nq, C] from padded neighborhoods.
 
     query_xyz [B,Nq,3] f32; support_xyz [B,Ns,3] f32; features [B,Ns,C]
     (bf16 or f32); idx [B,Nq,K] int32; mask [B,Nq,K] bool.
-    mode: xyz|sin_cos; reduction: avg|sum. Differentiable in features
-    (positions carry no gradient, matching the reference operators).
+    reduction: avg|sum. Differentiable in features (positions carry no
+    gradient, matching the reference operators). sin_cos mode goes
+    through _sc2_vjp (see _pospool_dispatch).
     """
     return _pospool_call(query_xyz, support_xyz, features, idx, mask,
-                         radius, mode, reduction)
+                         radius, reduction)
 
 
 def _pospool_call(query_xyz, support_xyz, features, idx, mask,
-                  radius, mode, reduction):
+                  radius, reduction):
     b, nq, _ = query_xyz.shape
     support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
@@ -630,27 +652,14 @@ def _pospool_call(query_xyz, support_xyz, features, idx, mask,
     qT, iT, mT, nq0, nqp = _prep_tq(query_xyz, idx, mask, tile)
     ntile = nqp // tile
 
-    if mode == "xyz":
-        kern_fn = _xyz_fwd_kernel
-    elif mode == "sin_cos":
-        kern_fn = _sc_fwd_kernel
-    else:
-        raise ValueError(mode)
     kern = functools.partial(
-        kern_fn, k=k, ns=ns, channels=c, radius=float(radius),
+        _xyz_fwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
         reduction=reduction)
     qspec, sspec, fspec, ispec, oTspec = _common_specs(tile, ns, c, k)
     cs = min(ns, _NS_CHUNK)
     in_specs = [qspec, sspec, fspec, ispec, ispec, _lists_spec(ns // cs)]
     operands = [qT, support_xyz.astype(jnp.float32), features, iT, mT,
                 _chunk_lists(idx, mask, tile, cs, ns // cs)]
-    if mode == "sin_cos":
-        in_specs.insert(5, pl.BlockSpec((1, 4, c), lambda bi, ti: (0, 0, 0),
-                                        memory_space=pltpu.VMEM))
-        operands.insert(5, jnp.asarray(_sincos_coef(c))[None])
-        in_specs.insert(6, pl.BlockSpec((1, c, 3), lambda bi, ti: (0, 0, 0),
-                                        memory_space=pltpu.VMEM))
-        operands.insert(6, jnp.asarray(_sincos_coefT(c))[None])
     scratch = [pltpu.VMEM((c, tile), jnp.float32),
                pltpu.VMEM((1, tile), jnp.float32)]
     outT = pl.pallas_call(
@@ -669,13 +678,13 @@ def _pospool_call(query_xyz, support_xyz, features, idx, mask,
 
 
 def _pospool_fwd(query_xyz, support_xyz, features, idx, mask,
-                 radius, mode, reduction):
+                 radius, reduction):
     out = _pospool_call(query_xyz, support_xyz, features, idx, mask,
-                        radius, mode, reduction)
+                        radius, reduction)
     return out, (query_xyz, support_xyz, features, idx, mask)
 
 
-def _pospool_bwd(radius, mode, reduction, res, dy):
+def _pospool_bwd(radius, reduction, res, dy):
     query_xyz, support_xyz, features, idx, mask = res
     b = query_xyz.shape[0]
     ns0 = features.shape[1]
@@ -688,22 +697,14 @@ def _pospool_bwd(radius, mode, reduction, res, dy):
     dyT = jnp.swapaxes(dyp, 1, 2)  # [B, C, Nqp]
     ntile = nqp // tile
 
-    kern_fn = _xyz_bwd_kernel if mode == "xyz" else _sc_bwd_kernel
     kern = functools.partial(
-        kern_fn, k=k, ns=ns, channels=c, radius=float(radius),
+        _xyz_bwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
         reduction=reduction)
     qspec, sspec, fspec, ispec, oTspec = _common_specs(tile, ns, c, k)
     cs = min(ns, _NS_CHUNK)
     in_specs = [qspec, sspec, ispec, ispec, oTspec, _lists_spec(ns // cs)]
     operands = [qT, support_xyz.astype(jnp.float32), iT, mT, dyT,
                 _chunk_lists(idx, mask, tile, cs, ns // cs)]
-    if mode == "sin_cos":
-        in_specs.insert(4, pl.BlockSpec((1, 4, c), lambda bi, ti: (0, 0, 0),
-                                        memory_space=pltpu.VMEM))
-        operands.insert(4, jnp.asarray(_sincos_coef(c))[None])
-        in_specs.insert(5, pl.BlockSpec((1, c, 3), lambda bi, ti: (0, 0, 0),
-                                        memory_space=pltpu.VMEM))
-        operands.insert(5, jnp.asarray(_sincos_coefT(c))[None])
     scratch = [pltpu.VMEM((1, tile), jnp.float32)]
     dfeats = pl.pallas_call(
         kern,
@@ -723,3 +724,123 @@ def _pospool_bwd(radius, mode, reduction, res, dy):
 
 
 _pospool_vjp.defvjp(_pospool_fwd, _pospool_bwd)
+
+
+# ---- sin_cos two-stream gather (see the sin_cos block comment) ----------
+
+
+def _pad_rows(f):
+    """Pad the support-row axis to a _NS_CHUNK multiple with zeros
+    (indices in idx are always < the original Ns, so padded rows are
+    never selected)."""
+    ns = f.shape[1]
+    if ns <= _NS_CHUNK:
+        return f
+    pad = (-ns) % _NS_CHUNK
+    if pad == 0:
+        return f
+    return jnp.pad(f, ((0, 0), (0, pad), (0, 0)))
+
+
+def _sc2_coefT_spec(c):
+    return pl.BlockSpec((1, c, 3), lambda bi, ti: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _sc2_vjp(query_xyz, g1, g2, idx, mask, radius: float,
+             reduction: str = "avg"):
+    """Two-stream masked neighborhood sum + sinusoidal combine:
+
+        out[t, c] = cosV[c,t]·Σ_s M[s,t] g1[s,c]
+                  + sinV[c,t]·Σ_s M[s,t] g2[s,c]
+
+    with V the absolute-coordinate query angles. g1/g2 are the
+    trig-modulated support features built in _pospool_dispatch.
+    Differentiable in g1/g2.
+    """
+    return _sc2_call(query_xyz, g1, g2, idx, mask, radius, reduction)
+
+
+def _sc2_call(query_xyz, g1, g2, idx, mask, radius, reduction):
+    b, nq, _ = query_xyz.shape
+    g1, g2 = _pad_rows(g1), _pad_rows(g2)
+    ns, c = g1.shape[1], g1.shape[2]
+    k = idx.shape[2]
+    tile = _tile_chunked(nq)
+    qT, iT, mT, nq0, nqp = _prep_tq(query_xyz, idx, mask, tile)
+    ntile = nqp // tile
+
+    kern = functools.partial(
+        _sc_fwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
+        reduction=reduction)
+    qspec, _, fspec, ispec, oTspec = _common_specs(tile, ns, c, k)
+    cs = min(ns, _NS_CHUNK)
+    in_specs = [qspec, fspec, fspec, ispec, ispec, _sc2_coefT_spec(c),
+                _lists_spec(ns // cs)]
+    operands = [qT, g1, g2, iT, mT, jnp.asarray(_sincos_coefT(c))[None],
+                _chunk_lists(idx, mask, tile, cs, ns // cs)]
+    scratch = [pltpu.VMEM((c, tile), jnp.float32),
+               pltpu.VMEM((c, tile), jnp.float32),
+               pltpu.VMEM((1, tile), jnp.float32)]
+    outT = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=in_specs,
+        out_specs=oTspec,
+        out_shape=jax.ShapeDtypeStruct((b, c, nqp), g1.dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*operands)
+    return jnp.swapaxes(outT, 1, 2)[:, :nq0]
+
+
+def _sc2_fwd(query_xyz, g1, g2, idx, mask, radius, reduction):
+    out = _sc2_call(query_xyz, g1, g2, idx, mask, radius, reduction)
+    # zero-width slice: carries g1's row count + dtype (statically)
+    # through the residuals without holding any data
+    return out, (query_xyz, g1[:, :, :0], idx, mask)
+
+
+def _sc2_bwd(radius, reduction, res, dy):
+    query_xyz, gmeta, idx, mask = res
+    ns0, gdt = gmeta.shape[1], gmeta.dtype
+    b = query_xyz.shape[0]
+    ns = ns0 if ns0 <= _NS_CHUNK else ns0 + (-ns0) % _NS_CHUNK
+    c = dy.shape[2]
+    k = idx.shape[2]
+    tile = _tile_chunked(query_xyz.shape[1])
+    qT, iT, mT, _, nqp = _prep_tq(query_xyz, idx, mask, tile)
+    dyp, _ = _pad_queries(dy, tile)
+    dyT = jnp.swapaxes(dyp, 1, 2)  # [B, C, Nqp]
+    ntile = nqp // tile
+
+    kern = functools.partial(
+        _sc_bwd_kernel, k=k, ns=ns, channels=c, radius=float(radius),
+        reduction=reduction)
+    qspec, _, fspec, ispec, oTspec = _common_specs(tile, ns, c, k)
+    cs = min(ns, _NS_CHUNK)
+    in_specs = [qspec, ispec, ispec, _sc2_coefT_spec(c), oTspec,
+                _lists_spec(ns // cs)]
+    operands = [qT, iT, mT, jnp.asarray(_sincos_coefT(c))[None], dyT,
+                _chunk_lists(idx, mask, tile, cs, ns // cs)]
+    dg1, dg2 = pl.pallas_call(
+        kern,
+        grid=(b, ntile),
+        in_specs=in_specs,
+        out_specs=(fspec, fspec),
+        out_shape=(jax.ShapeDtypeStruct((b, ns, c), gdt),
+                   jax.ShapeDtypeStruct((b, ns, c), gdt)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*operands)
+    return (jnp.zeros_like(query_xyz), dg1[:, :ns0], dg2[:, :ns0],
+            None, None)
+
+
+_sc2_vjp.defvjp(_sc2_fwd, _sc2_bwd)

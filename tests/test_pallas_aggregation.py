@@ -65,20 +65,23 @@ def test_fused_matches_reference(data, mode, reduction):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
 
 
-def test_fused_gradient_matches(data):
+@pytest.mark.parametrize("mode", ["xyz", "sin_cos"])
+def test_fused_gradient_matches(data, mode):
     xyz, feats, idx, nmask = data
 
     def loss_ref(f):
-        return jnp.sum(jnp_pospool(f, xyz, idx, nmask, "xyz", "avg") ** 2)
+        return jnp.sum(jnp_pospool(f, xyz, idx, nmask, mode, "avg") ** 2)
 
     def loss_fused(f):
         return jnp.sum(
-            pospool_fused(xyz, xyz, f, idx, nmask, RADIUS, "xyz", "avg")**2)
+            pospool_fused(xyz, xyz, f, idx, nmask, RADIUS, mode, "avg")**2)
 
     g_ref = jax.grad(loss_ref)(feats)
     g_fus = jax.grad(loss_fused)(feats)
+    tol = dict(rtol=1e-4, atol=1e-5) if mode == "xyz" else \
+        dict(rtol=1e-3, atol=5e-4)
     np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
-                               rtol=1e-4, atol=1e-5)
+                               **tol)
 
 
 def test_fused_padding_invariance(data):
