@@ -104,6 +104,10 @@ class Trainer:
 
         self.ckpt = CheckpointManager(f"{workdir}/ckpt",
                                       keep=cfg.keep_checkpoints)
+        # keep-k retains the LATEST k only; a long run's best-val model
+        # would be lost if it isn't last, so the best checkpoint gets its
+        # own keep-1 slot (reference keeps every epoch instead)
+        self.ckpt_best = CheckpointManager(f"{workdir}/ckpt_best", keep=1)
         self.start_epoch = cfg.start_epoch
         restored, extra, step = self.ckpt.restore(self.state)
         if restored is not None:
@@ -223,11 +227,20 @@ class Trainer:
             if epoch % cfg.val_interval == 0 or epoch == cfg.epochs:
                 stats = self.validate(epoch)
                 key = "miou" if "miou" in stats else "acc"
-                best = max(best, stats[key])
+                if stats[key] > best:
+                    best = stats[key]
+                    # numeric-only extra: Orbax StandardSave rejects str
+                    self.ckpt_best.save(
+                        int(self.state.step), self.state,
+                        extra={"epoch": epoch, "value": float(best)})
+                    self.logger.info(
+                        "new best %s %.4f @ epoch %d (saved to "
+                        "ckpt_best)", key, best, epoch)
             if epoch % cfg.save_interval == 0 or epoch == cfg.epochs:
                 self.ckpt.save(int(self.state.step), self.state,
                                extra={"epoch": epoch})
         self.ckpt.wait()
+        self.ckpt_best.wait()
         self.writer.close()
         self.logger.info("training complete; best %.4f", best)
         return best

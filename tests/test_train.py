@@ -186,3 +186,34 @@ def test_kill_resume_fault_injection(tmp_path):
 
     c = Trainer(cfg_for(), wd)  # post-completion restart
     assert c.start_epoch == 5
+
+
+def test_best_checkpoint_saved(tmp_path):
+    """fit() must keep the best-val model in ckpt_best even when a later
+    (worse) epoch is the last one saved to the keep-k latest slot."""
+    from closerlook3d_tpu.train.loop import Trainer
+
+    cfg = tiny_cfg()
+    cfg.epochs = 3
+    cfg.save_interval = 1
+    cfg.val_interval = 1
+    cfg.log_interval = 10**9
+    cfg.use_pallas = "never"
+
+    t = Trainer(cfg, str(tmp_path / "run"))
+    canned = iter([{"acc": 0.5}, {"acc": 0.8}, {"acc": 0.6}])
+    best_steps = []
+    t.validate = lambda epoch: next(canned)
+    orig_save = t.ckpt_best.save
+    t.ckpt_best.save = lambda step, state, extra=None: (
+        best_steps.append((step, extra)), orig_save(step, state, extra))[1]
+    best = t.fit()
+    assert best == 0.8
+    # saved at epochs 1 and 2 (improvements), not at epoch 3 (worse)
+    assert len(best_steps) == 2
+    assert best_steps[-1][1]["value"] == 0.8
+    assert best_steps[-1][1]["epoch"] == 2
+    # the surviving on-disk best checkpoint is the epoch-2 one
+    assert t.ckpt_best.latest_step() == best_steps[-1][0]
+    # and the latest slot moved past it
+    assert t.ckpt.latest_step() > t.ckpt_best.latest_step()
