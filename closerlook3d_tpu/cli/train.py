@@ -36,8 +36,17 @@ def main(argv=None):
     p.add_argument("--log_dir", default="runs/default")
     p.add_argument("--load_path", default=None,
                    help="checkpoint dir to warm-start weights from")
+    p.add_argument("--check_data", action="store_true",
+                   help="validate the on-disk dataset tree and exit")
     p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = p.parse_args(argv)
+
+    if args.check_data:
+        from closerlook3d_tpu.data.check import check_data
+        cfg = load_config(args.cfg, parse_overrides(args.overrides))
+        rep = check_data(cfg)
+        print(rep.render())
+        raise SystemExit(1 if rep.has_errors else 0)
 
     from closerlook3d_tpu.parallel.mesh import maybe_initialize_distributed
     maybe_initialize_distributed()  # multi-host: before any backend use

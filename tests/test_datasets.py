@@ -268,6 +268,89 @@ def test_s3dis_prep_and_loader(tmp_path):
     assert float(s["height"].max()) > 1.5 or float(s["height"].max()) < 0.5
 
 
+# --------------------------------------------------------------- check_data
+
+
+def test_check_data_reports(tmp_path):
+    """--check_data: good fixtures pass; broken trees fail with
+    actionable messages (VERDICT r2 item 8)."""
+    from closerlook3d_tpu.data.check import check_data
+
+    cfg = load_config()
+    cfg.data_root = str(tmp_path / "nothing_here")
+
+    # synthetic: always fine, nothing on disk
+    cfg.datasets = "synthetic"
+    assert not check_data(cfg).has_errors
+
+    # missing roots: every real dataset errors with the expected path
+    for name in ("modelnet40", "shapenetpart", "partnet", "s3dis"):
+        cfg.datasets = name
+        rep = check_data(cfg)
+        assert rep.has_errors
+        assert str(cfg.data_root) in rep.render()
+
+    # good fixtures: warnings (tiny split sizes) but no errors
+    root = tmp_path / "good"
+    _write_modelnet40(str(root))
+    _write_shapenetpart(str(root))
+    _write_partnet(str(root), 3, ["Chair"], [4])
+    _write_s3dis_raw(str(root), np.random.default_rng(5))
+    cfg.data_root = str(root)
+    for name in ("modelnet40", "shapenetpart", "partnet", "s3dis"):
+        cfg.datasets = name
+        rep = check_data(cfg)
+        assert not rep.has_errors, (name, rep.render())
+
+    # S3DIS processed cache is checked in preference to the raw tree
+    from closerlook3d_tpu.data.s3dis import prepare_rooms
+    prepare_rooms(str(root), cell=0.08)
+    cfg.first_subsampling_dl = 0.08
+    cfg.datasets = "s3dis"
+    rep = check_data(cfg)
+    assert not rep.has_errors and "processed cache" in rep.render()
+    # wrong test area → error naming the config knob
+    cfg.s3dis_test_area = 4
+    rep = check_data(cfg)
+    assert rep.has_errors and "s3dis_test_area" in rep.render()
+    cfg.s3dis_test_area = 5
+
+    # a listed-but-missing shape file is an error that names the file
+    base = os.path.join(root, "modelnet40_normal_resampled", "airplane",
+                        "airplane_0001")
+    for ext in (".txt", ".npy"):
+        if os.path.exists(base + ext):
+            os.remove(base + ext)
+    cfg.datasets = "modelnet40"
+    rep = check_data(cfg)
+    assert rep.has_errors and "airplane_0001" in rep.render()
+
+    # corrupt split json → parse error, not a crash
+    jf = os.path.join(
+        root, "shapenetcore_partanno_segmentation_benchmark_v0_normal",
+        "train_test_split", "shuffled_train_file_list.json")
+    with open(jf, "w") as f:
+        f.write("{not json")
+    cfg.datasets = "shapenetpart"
+    rep = check_data(cfg)
+    assert rep.has_errors and "unparseable" in rep.render()
+
+
+def test_check_data_cli(tmp_path):
+    """`--check_data` exits 0 on a valid tree, 1 on errors."""
+    from closerlook3d_tpu.cli.train import main
+
+    root = tmp_path / "d"
+    _write_modelnet40(str(root))
+    with pytest.raises(SystemExit) as e:
+        main(["--check_data", f"data_root={root}", "datasets=modelnet40"])
+    assert e.value.code == 0
+    with pytest.raises(SystemExit) as e:
+        main(["--check_data", f"data_root={tmp_path}/absent",
+              "datasets=modelnet40"])
+    assert e.value.code == 1
+
+
 def test_s3dis_potential_coverage(tmp_path):
     """Min-potential picking must spread spheres across the room."""
     from closerlook3d_tpu.data.s3dis import S3DIS, prepare_rooms
