@@ -20,13 +20,13 @@ from closerlook3d_tpu.parallel.mesh import (
 )
 from closerlook3d_tpu.train.checkpoints import CheckpointManager
 from closerlook3d_tpu.train.evaluate import (
+    evaluate_classification,
     evaluate_partseg,
     evaluate_s3dis_voting,
 )
 from closerlook3d_tpu.train.loop import device_batch
 from closerlook3d_tpu.train.schedules import make_optimizer
 from closerlook3d_tpu.train.state import create_train_state
-from closerlook3d_tpu.train.step import make_eval_step
 from closerlook3d_tpu.utils.config import load_config
 from closerlook3d_tpu.utils.logger import setup_logger
 
@@ -73,18 +73,7 @@ def main(argv=None):
     elif cfg.task == "part_segmentation":
         results = evaluate_partseg(cfg, dataset, state, jitted_logits, it)
     else:
-        eval_step = make_eval_step(model, loss_fn, cfg.task, mesh)
-        from closerlook3d_tpu.train.metrics import AverageMeter
-        import numpy as np
-        acc = AverageMeter()
-        for batch in it:
-            db = device_batch(batch, mesh)
-            logits, _ = eval_step(state, db)
-            keep = ~batch["batch_pad"]
-            pred = np.asarray(jax.device_get(logits)).argmax(-1)
-            acc.update(float((pred[keep] == batch["label"][keep]).mean()),
-                       int(keep.sum()))
-        results = {"accuracy": acc.avg}
+        results = evaluate_classification(cfg, state, jitted_logits, it)
 
     logger.info("results: %s", json.dumps(results))
     print(json.dumps(results))

@@ -18,12 +18,72 @@ from typing import List
 import jax
 import numpy as np
 
+from closerlook3d_tpu.data import transforms as T
 from closerlook3d_tpu.data.loader import build_features
 from closerlook3d_tpu.train.metrics import (
     iou_from_confusion,
     partnet_miou,
     shapenetpart_miou,
 )
+
+
+def _shape_votes(cfg) -> int:
+    """Vote count for shape-task eval (cls/partseg); 1 = single clean
+    pass. Gated by cfg.vote_eval — [U] unverified vs the reference mount
+    (SURVEY.md §3.3 pins vote accumulation for S3DIS only)."""
+    if not getattr(cfg, "vote_eval", False):
+        return 1
+    return max(int(cfg.num_votes), 1)
+
+
+def vote_augment(batch, cfg, rng, vote: int):
+    """Per-vote augmented copy of an eval batch (vote 0 = clean pass).
+
+    Mirrors the train-time augmentation family: per-cloud random
+    rotation (cfg.augment_rotation) + anisotropic scale, no jitter
+    noise; normals rotate with the cloud and features are rebuilt.
+    """
+    if vote == 0:
+        return batch
+    out = dict(batch)
+    xyz = batch["xyz"]
+    normals = batch.get("normals")
+    new_xyz = np.empty_like(xyz)
+    new_nrm = np.empty_like(normals) if normals is not None else None
+    for b in range(xyz.shape[0]):
+        rot = T.rotation_matrix(cfg.augment_rotation, rng)
+        p, n = T.rotate(xyz[b], rot,
+                        None if normals is None else normals[b])
+        scale = rng.uniform(cfg.augment_scale_min, cfg.augment_scale_max,
+                            size=(3,)).astype(np.float32)
+        new_xyz[b] = p * scale
+        if new_nrm is not None:
+            new_nrm[b] = n
+    out["xyz"] = new_xyz.astype(np.float32)
+    if new_nrm is not None:
+        out["normals"] = new_nrm
+    out["features"] = build_features(out, cfg.input_features)
+    return out
+
+
+def evaluate_classification(cfg, state, eval_logits_fn, batch_iter):
+    """ModelNet40-style eval; optional vote averaging (cfg.vote_eval)."""
+    votes = _shape_votes(cfg)
+    rng = np.random.default_rng(cfg.rng_seed)
+    correct = total = 0
+    for batch in batch_iter:
+        keep = ~batch["batch_pad"]
+        prob = None
+        for v in range(votes):
+            vb = vote_augment(batch, cfg, rng, v)
+            db = {k: vb[k] for k in ("xyz", "mask", "features")}
+            logits = np.asarray(jax.device_get(eval_logits_fn(state, db)))
+            p = _softmax(logits)
+            prob = p if prob is None else prob + p
+        pred = prob.argmax(-1)
+        correct += int((pred[keep] == batch["label"][keep]).sum())
+        total += int(keep.sum())
+    return {"accuracy": correct / max(total, 1), "num_votes": votes}
 
 
 def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
@@ -94,16 +154,25 @@ def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
 
 
 def evaluate_partseg(cfg, dataset, state, eval_logits_fn, batch_iter):
-    """ShapeNetPart / PartNet whole-shape evaluation (masked argmax)."""
+    """ShapeNetPart / PartNet whole-shape evaluation (masked argmax);
+    optional vote averaging over augmented passes (cfg.vote_eval)."""
     preds: List[np.ndarray] = []
     labels: List[np.ndarray] = []
     cats: List[int] = []
     num_parts = list(cfg.num_parts)
     starts = np.concatenate([[0], np.cumsum(num_parts)[:-1]]).astype(int)
+    votes = _shape_votes(cfg)
+    rng = np.random.default_rng(cfg.rng_seed)
     for batch in batch_iter:
-        db = {k: batch[k] for k in ("xyz", "mask", "features", "labels",
-                                    "category")}
-        logits = np.asarray(jax.device_get(eval_logits_fn(state, db)))
+        prob = None
+        for v in range(votes):
+            vb = vote_augment(batch, cfg, rng, v)
+            db = {k: vb[k] for k in ("xyz", "mask", "features", "labels",
+                                     "category")}
+            lg = np.asarray(jax.device_get(eval_logits_fn(state, db)))
+            p = _softmax(lg)
+            prob = p if prob is None else prob + p
+        logits = prob  # softmax averages; argmax below is unchanged
         keep = ~batch["batch_pad"]
         for b in range(logits.shape[0]):
             if not keep[b]:

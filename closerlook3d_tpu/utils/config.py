@@ -43,6 +43,11 @@ def default_config() -> ConfigDict:
     c.first_subsampling_dl = 0.04  # room grid-subsample cell (m)
     c.num_steps = 2000  # steps per pseudo-epoch (scene tasks)
     c.num_votes = 20  # eval vote rounds (sliding spheres)
+    # test-time vote averaging for cls/partseg eval: when True, the
+    # evaluators average softmax over num_votes augmented passes.
+    # OFF by default — [U] unverified vs the reference mount (SURVEY.md
+    # pins vote accumulation for S3DIS only).
+    c.vote_eval = False
     c.s3dis_test_area = 5
     c.partnet_level = 3  # PartNet semantic level: 1 coarse | 2 | 3 fine
 

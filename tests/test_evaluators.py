@@ -136,6 +136,117 @@ def test_evaluate_partseg_oracle():
     assert res["category_miou"] == pytest.approx(1.0)
 
 
+def test_vote_augment():
+    """Vote 0 is the clean pass; later votes rotate+scale per cloud,
+    rotate normals with the cloud, and rebuild features."""
+    from closerlook3d_tpu.train.evaluate import vote_augment
+
+    cfg = load_config()
+    cfg.augment_rotation = "so3"
+    cfg.input_features = "xyz"
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-1, 1, size=(3, 16, 3)).astype(np.float32)
+    nrm = rng.normal(size=(3, 16, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    batch = {"xyz": xyz, "normals": nrm,
+             "mask": np.ones((3, 16), bool), "features": xyz.copy()}
+
+    assert vote_augment(batch, cfg, np.random.default_rng(1), 0) is batch
+    out = vote_augment(batch, cfg, np.random.default_rng(1), 1)
+    assert not np.allclose(out["xyz"], xyz)  # actually augmented
+    np.testing.assert_array_equal(batch["xyz"], xyz)  # input untouched
+    # normals rotate rigidly: unit norm preserved
+    np.testing.assert_allclose(
+        np.linalg.norm(out["normals"], axis=-1), 1.0, rtol=1e-5)
+    # features rebuilt from the augmented xyz
+    np.testing.assert_array_equal(out["features"], out["xyz"])
+    # per-cloud randomness: clouds get different transforms
+    r0 = out["xyz"][0] @ np.linalg.pinv(xyz[0])
+    r1 = out["xyz"][1] @ np.linalg.pinv(xyz[1])
+    assert not np.allclose(r0, r1, atol=1e-3)
+
+
+def test_evaluate_partseg_vote_averaging():
+    """cfg.vote_eval honors num_votes outside S3DIS: the logits fn runs
+    num_votes times per batch and a label-oracle stays perfect."""
+    from closerlook3d_tpu.data.loader import BatchIterator
+    from closerlook3d_tpu.train.evaluate import evaluate_partseg
+
+    ds = _TinyPartDataset()
+    cfg = load_config()
+    cfg.num_parts = list(ds.num_parts)
+    cfg.vote_eval = True
+    cfg.num_votes = 3
+    calls = {"n": 0}
+    oracle = _oracle_logits_factory(5)
+
+    def fn(state, batch):
+        calls["n"] += 1
+        return oracle(state, batch)
+
+    it = BatchIterator(ds, 2, shuffle=False, feature_spec="xyz",
+                       drop_last=False)
+    n_batches = len(it)
+    res = evaluate_partseg(cfg, ds, None, fn, iter(it))
+    assert calls["n"] == n_batches * 3
+    assert res["ins_miou"] == pytest.approx(1.0)
+
+
+class _TinyClsDataset:
+    """Label is encoded in the valid-point count (vote-invariant)."""
+
+    def __init__(self, n=6, n_points=32, n_classes=3):
+        rng = np.random.default_rng(11)
+        self.samples = []
+        for i in range(n):
+            label = i % n_classes
+            mask = np.zeros(n_points, bool)
+            mask[:10 + label] = True
+            self.samples.append({
+                "xyz": rng.uniform(-1, 1, (n_points, 3)).astype(np.float32),
+                "mask": mask,
+                "label": np.int32(label),
+            })
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def test_evaluate_classification_voting():
+    from closerlook3d_tpu.data.loader import BatchIterator
+    from closerlook3d_tpu.train.evaluate import evaluate_classification
+
+    ds = _TinyClsDataset()
+    cfg = load_config()
+    cfg.input_features = "xyz"
+    calls = {"n": 0}
+
+    def mask_oracle(state, batch):
+        calls["n"] += 1
+        n_valid = np.asarray(batch["mask"]).sum(-1)
+        return np.eye(3, dtype=np.float32)[n_valid - 10] * 10.0
+
+    # default: single clean pass
+    it = BatchIterator(ds, 4, shuffle=False, feature_spec="xyz",
+                       drop_last=False)
+    res = evaluate_classification(cfg, None, mask_oracle, iter(it))
+    assert res["accuracy"] == pytest.approx(1.0)
+    assert res["num_votes"] == 1 and calls["n"] == len(it)
+
+    # voting on: num_votes augmented passes, oracle stays perfect
+    cfg.vote_eval = True
+    cfg.num_votes = 4
+    calls["n"] = 0
+    it = BatchIterator(ds, 4, shuffle=False, feature_spec="xyz",
+                       drop_last=False)
+    res = evaluate_classification(cfg, None, mask_oracle, iter(it))
+    assert res["accuracy"] == pytest.approx(1.0)
+    assert res["num_votes"] == 4 and calls["n"] == len(it) * 4
+
+
 def test_evaluate_partseg_constant_predictor():
     """Predictor that always answers the first part of the category slice:
     hand-computed instance mIoU per shape = mean over the category's
