@@ -20,10 +20,15 @@ import numpy as np
 
 from closerlook3d_tpu.data import transforms as T
 from closerlook3d_tpu.data.loader import build_features
+from closerlook3d_tpu.parallel.collectives import (
+    all_processes_concat,
+    all_processes_sum,
+)
 from closerlook3d_tpu.train.metrics import (
     iou_from_confusion,
+    miou_from_shape_ious,
     partnet_miou,
-    shapenetpart_miou,
+    shapenetpart_shape_iou,
 )
 
 
@@ -83,6 +88,8 @@ def evaluate_classification(cfg, state, eval_logits_fn, batch_iter):
         pred = prob.argmax(-1)
         correct += int((pred[keep] == batch["label"][keep]).sum())
         total += int(keep.sum())
+    # multi-host: each process saw its sample shard; reduce the counts
+    correct, total = all_processes_sum((correct, total))
     return {"accuracy": correct / max(total, 1), "num_votes": votes}
 
 
@@ -92,18 +99,27 @@ def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
     eval_logits_fn(state, batch) -> [B, N, C] logits (jitted).
     """
     nroom = len(dataset.xyz)
+    # multi-host: rooms are sharded round-robin across processes; each
+    # process votes only on its rooms (unowned potentials pinned to +inf
+    # so pick_center never selects them) and the confusion matrices are
+    # summed across processes at the end.
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    owned = list(range(pidx, nroom, pcnt))
     scores = [np.zeros((len(x), dataset.num_classes), np.float32)
               for x in dataset.xyz]
     counts = [np.zeros(len(x), np.float32) for x in dataset.xyz]
     # fresh potentials for deterministic covering
     pots = [np.random.default_rng(7 + i).random(len(x)).astype(np.float32)
             * 1e-3 for i, x in enumerate(dataset.xyz)]
+    for r in range(nroom):
+        if r not in owned:
+            pots[r][:] = np.inf
     dataset.potentials = pots
 
     bs = cfg.batch_size
     vote_round = 0
-    while True:
-        min_pot = min(p.min() for p in pots)
+    while owned:
+        min_pot = min(pots[r].min() for r in owned)
         if min_pot >= cfg.num_votes:
             break
         samples = []
@@ -137,7 +153,7 @@ def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
     # project sub-cloud scores onto full clouds via 1-NN and accumulate
     conf = np.zeros((dataset.num_classes, dataset.num_classes), np.float64)
     sub_conf = np.zeros_like(conf)
-    for r in range(nroom):
+    for r in owned:
         seen = counts[r] > 0
         sub_pred = scores[r].argmax(1)
         lab = dataset.labels[r]
@@ -146,6 +162,8 @@ def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
         nn = dataset.trees[r].query(full_xyz, k=1)[1]
         full_pred = sub_pred[nn]
         np.add.at(conf, (full_labels, full_pred), 1)
+    conf, sub_conf, vote_round = all_processes_sum(
+        (conf, sub_conf, vote_round))
     iou, miou, oa = iou_from_confusion(conf)
     _, sub_miou, sub_oa = iou_from_confusion(sub_conf)
     return {"miou": miou, "oa": oa, "iou_per_class": iou.tolist(),
@@ -185,7 +203,11 @@ def evaluate_partseg(cfg, dataset, state, eval_logits_fn, batch_iter):
             preds.append(pred[m])
             labels.append(batch["labels"][b][m])
             cats.append(cat)
-    ins_miou, cls_miou = shapenetpart_miou(preds, labels, cats, num_parts)
+    # per-shape IoUs reduce to scalars BEFORE the cross-process gather
+    # (point counts per shape are ragged; the scalar list is cheap)
+    shape_ious = np.array([
+        shapenetpart_shape_iou(p, l, c, num_parts)
+        for p, l, c in zip(preds, labels, cats)], np.float64)
     # per-category confusions for the PartNet protocol
     confs = []
     for c in range(len(num_parts)):
@@ -195,6 +217,12 @@ def evaluate_partseg(cfg, dataset, state, eval_logits_fn, batch_iter):
             if cat == c:
                 np.add.at(cc, (l - s, p - s), 1)
         confs.append(cc)
+    # multi-host: each process evaluated its shard; gather/reduce
+    shape_ious = all_processes_concat(shape_ious)
+    cats = all_processes_concat(np.asarray(cats, np.int64)).tolist()
+    confs = all_processes_sum(confs)
+    ins_miou, cls_miou = miou_from_shape_ious(shape_ious, cats,
+                                              len(num_parts))
     pn_miou = partnet_miou(confs)
     per_cat = []
     for cc in confs:

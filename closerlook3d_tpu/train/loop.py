@@ -202,6 +202,14 @@ class Trainer:
                 conf = c if conf is None else conf + c
                 acc_m.update(float((pred == batch["labels"])[m].mean()),
                              int(m.sum()))
+        # multi-host: every process saw only its val shard; reduce the
+        # meters/confusion across processes (DDP eval all_reduce analogue)
+        from closerlook3d_tpu.parallel.collectives import all_processes_sum
+        loss_m.sum, loss_m.count, acc_m.sum, acc_m.count = \
+            all_processes_sum(
+                (loss_m.sum, loss_m.count, acc_m.sum, acc_m.count))
+        if conf is not None:
+            conf = all_processes_sum(conf)
         if conf is not None:
             _, miou, oa = iou_from_confusion(conf)
             self.logger.info("val epoch %d: loss %.4f acc %.4f mIoU %.4f "

@@ -65,34 +65,50 @@ def iou_from_confusion(conf: np.ndarray):
     return iou, miou, oa
 
 
+def shapenetpart_shape_iou(pred: np.ndarray, label: np.ndarray, cat: int,
+                           num_parts: Sequence[int]) -> float:
+    """One shape's part-averaged IoU (GLOBAL part ids; category slice).
+
+    Reference convention: parts absent from both pred and gt count IoU 1.
+    """
+    starts = np.concatenate([[0], np.cumsum(num_parts)[:-1]])
+    s, n = int(starts[cat]), int(num_parts[cat])
+    ious = []
+    for part in range(s, s + n):
+        pi = pred == part
+        ti = label == part
+        union = np.logical_or(pi, ti).sum()
+        ious.append(1.0 if union == 0
+                    else np.logical_and(pi, ti).sum() / union)
+    return float(np.mean(ious))
+
+
+def miou_from_shape_ious(shape_ious: np.ndarray,
+                         category_list: Sequence[int],
+                         num_categories: int):
+    """(instance mIoU, class mIoU) from per-shape IoUs + categories.
+
+    Split out from the per-shape computation so multi-host eval can
+    gather per-shape scalars across processes before reducing.
+    """
+    cats = np.asarray(category_list, np.int64)
+    shape_ious = np.asarray(shape_ious, np.float64)
+    ins_miou = float(shape_ious.mean()) if len(shape_ious) else 0.0
+    cat_mious = [shape_ious[cats == c].mean()
+                 for c in range(num_categories) if (cats == c).any()]
+    cls_miou = float(np.mean(cat_mious)) if cat_mious else 0.0
+    return ins_miou, cls_miou
+
+
 def shapenetpart_miou(pred_list: List[np.ndarray],
                       label_list: List[np.ndarray],
                       category_list: Sequence[int],
                       num_parts: Sequence[int]):
-    """Instance mIoU and class mIoU over per-shape predictions.
-
-    pred/label arrays hold GLOBAL part ids; category selects the slice.
-    Reference convention: parts absent from both pred and gt count IoU 1.
-    """
-    starts = np.concatenate([[0], np.cumsum(num_parts)[:-1]])
-    per_shape = []
-    per_cat: dict = {c: [] for c in range(len(num_parts))}
-    for pred, label, cat in zip(pred_list, label_list, category_list):
-        s, n = int(starts[cat]), int(num_parts[cat])
-        ious = []
-        for part in range(s, s + n):
-            pi = pred == part
-            ti = label == part
-            union = np.logical_or(pi, ti).sum()
-            ious.append(1.0 if union == 0
-                        else np.logical_and(pi, ti).sum() / union)
-        v = float(np.mean(ious))
-        per_shape.append(v)
-        per_cat[int(cat)].append(v)
-    ins_miou = float(np.mean(per_shape)) if per_shape else 0.0
-    cat_mious = [np.mean(v) for v in per_cat.values() if v]
-    cls_miou = float(np.mean(cat_mious)) if cat_mious else 0.0
-    return ins_miou, cls_miou
+    """Instance mIoU and class mIoU over per-shape predictions."""
+    per_shape = np.array([
+        shapenetpart_shape_iou(p, l, int(c), num_parts)
+        for p, l, c in zip(pred_list, label_list, category_list)])
+    return miou_from_shape_ious(per_shape, category_list, len(num_parts))
 
 
 def partnet_miou(confusions_per_category: Sequence[np.ndarray]):
