@@ -1,15 +1,25 @@
-"""Benchmark harness: points/sec/chip for train + infer.
+"""Benchmark harness: points/sec/chip + MFU for train + infer.
 
 Prints ONE JSON line. Headline fields (metric/value/vs_baseline) come
 from the ModelNet40 cls/pospool cell; a ``matrix`` field carries every
 {cls, seg, partseg} x {5 operator} cell so the driver catches regressions in the
-non-headline cells too (VERDICT r1 item 5).
+non-headline cells too (VERDICT r1 item 5). Every cell reports train AND
+infer throughput plus MFU (VERDICT r2 items 1-2).
 
 vs_baseline is SELF-RELATIVE: the pinned value in BENCH_PIN.json is the
 pure-XLA unfused (use_pallas=never, jnp ops) implementation of the same
 model measured on the same v5e — i.e. the fusion speedup. The reference
 publishes no throughput numbers (BASELINE.md), so there is no external
 baseline to compare against; ``vs_baseline_kind`` says so explicitly.
+
+MFU accounting: model FLOPs per step come from XLA's compiled cost
+analysis of the UNFUSED (use_pallas=never) program — an upper bound on
+useful algorithmic work, since the fused/factorized kernels need fewer
+flops and Pallas kernels are opaque to the HLO flop counter (the
+fused-path count is also reported, labeled, for the gap). Unfused counts
+are deterministic program properties, so they are pinned per cell in
+BENCH_FLOPS.json (regenerate with tools/compute_flops.py after model
+changes); MFU divides by the measured step time and the v5e bf16 peak.
 
 Env knobs:
   BENCH_MATRIX=0        -> single cell only (BENCH_TASK x BENCH_OP)
@@ -18,6 +28,8 @@ Env knobs:
                         10 matrix cells)
   BENCH_POINTS/BENCH_BATCH  shape overrides (single-cell mode)
   BENCH_USE_PALLAS=never    measure the unfused path (pin refresh)
+  BENCH_INFER=0         skip infer timing on non-headline matrix cells
+  BENCH_PEAK_TFLOPS=N   override the bf16 peak used for MFU (default 197)
 """
 
 from __future__ import annotations
@@ -28,6 +40,29 @@ import sys
 import time
 
 import numpy as np
+
+# TPU v5e (v5 lite) bf16 peak: 197 TFLOP/s per chip.
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def load_flops_pins() -> dict:
+    path = os.path.join(_REPO, "BENCH_FLOPS.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def compiled_flops(compiled) -> float | None:
+    """FLOPs from a jax.stages.Compiled; None when the backend omits it
+    (Pallas custom calls are opaque to the counter either way)."""
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):
+        costs = costs[0] if costs else {}
+    flops = (costs or {}).get("flops")
+    return float(flops) if flops and flops > 0 else None
 
 # operator variants benchmarked in the matrix: config name + overrides
 MATRIX_OPS = [
@@ -136,11 +171,10 @@ def _make_host_batch(cfg, rng):
     return host_batch
 
 
-def run_cell(task: str, op: str, steps: int, measure_infer: bool,
-             num_points=None, batch=None):
-    """Train (and optionally infer) one benchmark cell; returns stats."""
+def cell_setup(cfg):
+    """Build state/batch/step fns for one cell (shared with
+    tools/compute_flops.py)."""
     import jax
-    import jax.numpy as jnp
 
     from closerlook3d_tpu.models import build_model
     from closerlook3d_tpu.parallel.mesh import make_mesh, shard_batch
@@ -148,7 +182,6 @@ def run_cell(task: str, op: str, steps: int, measure_infer: bool,
     from closerlook3d_tpu.train.state import create_train_state
     from closerlook3d_tpu.train.step import make_eval_step, make_train_step
 
-    cfg = _cell_cfg(task, op, num_points, batch)
     # OS-entropy seed: the execution stack replays recorded results for
     # content-identical programs (deterministic fixed-seed runs would
     # re-measure a cache, not the hardware)
@@ -163,48 +196,88 @@ def run_cell(task: str, op: str, steps: int, measure_infer: bool,
     state = create_train_state(cfg, model, optimizer,
                                jax.random.PRNGKey(0), dbatch, mesh)
     train_step = make_train_step(model, loss_fn, cfg.task, mesh)
+    eval_step = make_eval_step(model, loss_fn, cfg.task, mesh)
+    return dict(state=state, dbatch=dbatch, train_step=train_step,
+                eval_step=eval_step, n_chips=n_chips, rng=rng)
+
+
+def _mfu(flops, dt, n_chips):
+    if not flops or not dt:
+        return None
+    return round(flops / dt / n_chips / PEAK_FLOPS, 4)
+
+
+def run_cell(task: str, op: str, steps: int, measure_infer: bool,
+             num_points=None, batch=None, flops_pins=None):
+    """Train (and optionally infer) one benchmark cell; returns stats."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cell_cfg(task, op, num_points, batch)
+    s = cell_setup(cfg)
+    state, dbatch, rng = s["state"], s["dbatch"], s["rng"]
+    n_chips = s["n_chips"]
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile. NOTE: on this execution stack
+    # AOT compile so the fused-path flop count comes from the SAME
+    # executable that is timed. NOTE: on this execution stack
     # jax.block_until_ready can return before remote execution finishes;
     # only a host fetch (float()) truly synchronizes — measured 226s of
     # "blocked" warmup still in flight. All sync points below fetch.
-    state, m = train_step(state, dbatch, key)
+    tcomp = s["train_step"].lower(state, dbatch, key).compile()
+    state, m = tcomp(state, dbatch, key)
     float(m["loss"])
     # train: the state chains step-to-step (distinct content, no replay);
     # pipelined dispatch matches production steady state; one final fetch
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, m = train_step(state, dbatch, key)
+        state, m = tcomp(state, dbatch, key)
     float(m["loss"])
     train_dt = (time.perf_counter() - t0) / steps
 
+    pin = (flops_pins or {}).get(f"{task}/{op}") or {}
+    if (pin.get("points") != cfg.num_points
+            or pin.get("batch") != cfg.batch_size):
+        pin = {}  # shape-overridden run: the pinned program differs
     pts = cfg.batch_size * cfg.num_points
     cell = {
         "train_pps": round(pts / train_dt / n_chips, 1),
         "train_step_ms": round(train_dt * 1e3, 2),
         "points": cfg.num_points, "batch": cfg.batch_size,
     }
+    fused_train = compiled_flops(tcomp)
+    if fused_train:
+        cell["gflops_train_fused"] = round(fused_train / 1e9, 2)
+    if pin.get("train_flops"):
+        cell["gflops_train_unfused"] = round(pin["train_flops"] / 1e9, 2)
+        cell["mfu_train"] = _mfu(pin["train_flops"], train_dt, n_chips)
 
     if measure_infer:
-        eval_step = make_eval_step(model, loss_fn, cfg.task, mesh)
         # infer: repeated identical calls would replay — cycle over
         # distinct perturbed batches
         ebatches = []
-        for _ in range(steps):
+        for _ in range(max(steps, 2)):
             eb = dict(dbatch)
             eb["xyz"] = dbatch["xyz"] + jnp.float32(
                 rng.uniform(1e-6, 1e-5, size=()))
             ebatches.append(eb)
-        _, m = eval_step(state, ebatches[0])
+        ecomp = s["eval_step"].lower(state, ebatches[0]).compile()
+        _, m = ecomp(state, ebatches[0])
         float(m["loss"])
         t0 = time.perf_counter()
         for i in range(steps):
-            _, m = eval_step(state, ebatches[i % len(ebatches)])
+            _, m = ecomp(state, ebatches[i % len(ebatches)])
         float(m["loss"])
         infer_dt = (time.perf_counter() - t0) / steps
         cell["infer_pps"] = round(pts / infer_dt / n_chips, 1)
         cell["infer_step_ms"] = round(infer_dt * 1e3, 2)
+        fused_infer = compiled_flops(ecomp)
+        if fused_infer:
+            cell["gflops_infer_fused"] = round(fused_infer / 1e9, 2)
+        if pin.get("infer_flops"):
+            cell["gflops_infer_unfused"] = round(
+                pin["infer_flops"] / 1e9, 2)
+            cell["mfu_infer"] = _mfu(pin["infer_flops"], infer_dt, n_chips)
     return cell
 
 
@@ -225,12 +298,15 @@ def main():
         or os.environ.get("BENCH_POINTS") or os.environ.get("BENCH_BATCH"))
     steps = int(os.environ.get("BENCH_STEPS", 20))
 
+    flops_pins = load_flops_pins()
+
     if not matrix_mode:
         task = os.environ.get("BENCH_TASK", "cls")
         op = os.environ.get("BENCH_OP", "pospool")
         cell = run_cell(task, op, steps, measure_infer=True,
                         num_points=os.environ.get("BENCH_POINTS"),
-                        batch=os.environ.get("BENCH_BATCH"))
+                        batch=os.environ.get("BENCH_BATCH"),
+                        flops_pins=flops_pins)
         # pins are for the headline shapes only — never compare across
         # a BENCH_POINTS/BENCH_BATCH override
         shape_overridden = bool(os.environ.get("BENCH_POINTS")
@@ -251,19 +327,24 @@ def main():
             "infer_points_per_sec_per_chip": cell.get("infer_pps"),
             "train_step_ms": cell["train_step_ms"],
             "infer_step_ms": cell.get("infer_step_ms"),
+            "mfu_train": cell.get("mfu_train"),
+            "mfu_infer": cell.get("mfu_infer"),
+            "mfu_kind": "unfused_xla_flops_over_v5e_bf16_peak",
             "config": {"task": task, "op": op, "points": cell["points"],
                        "batch": cell["batch"],
                        "chips": len(jax.devices()), "precision": "bf16"},
         }))
         return
 
+    infer_all = os.environ.get("BENCH_INFER", "1") == "1"
     matrix = {}
     for task in ("cls", "seg", "partseg"):
         for op_name, _ in MATRIX_OPS:
             is_headline = (task, op_name) == ("cls", "pospool")
             n = steps if is_headline else max(steps // 2, 5)
             matrix[f"{task}/{op_name}"] = run_cell(
-                task, op_name, n, measure_infer=is_headline)
+                task, op_name, n, measure_infer=is_headline or infer_all,
+                flops_pins=flops_pins)
 
     head = matrix["cls/pospool"]
     vs = None
@@ -282,6 +363,9 @@ def main():
         "infer_points_per_sec_per_chip": head.get("infer_pps"),
         "train_step_ms": head["train_step_ms"],
         "infer_step_ms": head.get("infer_step_ms"),
+        "mfu_train": head.get("mfu_train"),
+        "mfu_infer": head.get("mfu_infer"),
+        "mfu_kind": "unfused_xla_flops_over_v5e_bf16_peak",
         "config": {"task": "cls", "op": "pospool",
                    "points": head["points"], "batch": head["batch"],
                    "chips": len(jax.devices()), "precision": "bf16"},

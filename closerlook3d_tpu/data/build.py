@@ -33,6 +33,7 @@ def build_dataset(cfg, split: str):
         n = 512 if split == "train" else 128
         return SyntheticClassification(
             n, cfg.num_points, cfg.num_classes,
+            noise=float(getattr(cfg, "synthetic_noise", 0.01)),
             seed=cfg.rng_seed + (0 if split == "train" else 1),
             augment=split == "train")
     if name == "synthetic_partseg":

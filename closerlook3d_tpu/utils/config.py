@@ -34,6 +34,7 @@ def default_config() -> ConfigDict:
     c.num_parts = []  # per-category part counts (part segmentation)
     c.input_features_dim = 3
     c.input_features = "xyz"  # ones|xyz|normals|rgb|height (comma combos)
+    c.synthetic_noise = 0.01  # synthetic-cls difficulty (parity proxy)
     c.batch_size = 32
     c.num_workers = 0
     c.task = "classification"  # classification|part_segmentation|scene_segmentation
