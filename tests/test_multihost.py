@@ -94,6 +94,23 @@ def test_maybe_initialize_distributed_calls_jax(monkeypatch):
     assert calls == [1]
 
 
+def test_collectives_single_process_identity():
+    """With process_count == 1 the host reductions are exact no-ops
+    (the multi-process path is exercised inside multihost_worker.py)."""
+    from closerlook3d_tpu.parallel.collectives import (
+        all_processes_concat,
+        all_processes_sum,
+    )
+
+    assert all_processes_sum(5) == 5
+    tree = {"a": np.arange(4), "b": (1.5, np.eye(2))}
+    out = all_processes_sum(tree)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+    assert out["b"][0] == 1.5
+    x = np.random.default_rng(0).normal(size=(3, 2))
+    np.testing.assert_array_equal(all_processes_concat(x), x)
+
+
 def test_two_process_multihost_execution():
     """REAL multi-process execution (VERDICT r2 item 4): two OS processes
     with 2 virtual CPU devices each join via jax.distributed.initialize,
