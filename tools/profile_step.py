@@ -28,7 +28,9 @@ PHASES = [
     ("fps", ["furthest", "fps"]),
     ("knn/upsample", ["knn", "nearest"]),
     ("aggregation", ["pospool", "pseudo_grid", "_sc_", "_xyz_",
-                     "moments", "pwmlp", "gather_sub", "neighborhood"]),
+                     "moments", "pwmlp", "pointwisemlp", "gather_sub",
+                     "neighborhood", "adaptive", "localaggregation",
+                     "bottleneck"]),
     ("sort (grid_subsample)", ["sort"]),
     ("scatter (grid_subsample)", ["scatter"]),
     ("conv/matmul fusions", ["fusion", "convolution", "dot"]),
@@ -94,15 +96,21 @@ def parse(logdir: str):
     print(f"total device: {total / STEPS:.1f} ms/step "
           f"({len(agg)} distinct ops)\n")
     phase_ms = {label: 0.0 for label, _ in PHASES}
+    phase_ops = {label: [] for label, _ in PHASES}
+    phase_ops["other"] = []
     other = 0.0
     for name, ms in agg.items():
-        low = name.lower()
+        # match on the instruction NAME only — the full string carries
+        # operand names ("%fusion.12"), which cross-contaminate phases
+        low = name.split(" = ")[0].lower()
         for label, pats in PHASES:
             if any(p in low for p in pats):
                 phase_ms[label] += ms
+                phase_ops[label].append((ms, name))
                 break
         else:
             other += ms
+            phase_ops["other"].append((ms, name))
     print("phase attribution (ms/step):")
     for label, ms in sorted(phase_ms.items(), key=lambda x: -x[1]):
         print(f"  {ms / STEPS:8.2f}  {label}")
@@ -111,6 +119,13 @@ def parse(logdir: str):
     for ms, name in sorted(((v, k) for k, v in agg.items()),
                            reverse=True)[:25]:
         print(f"  {ms / STEPS:8.3f}  {name[:100]}")
+    for label in [l for l, _ in PHASES] + ["other"]:
+        ops = sorted(phase_ops[label], reverse=True)[:6]
+        if not ops or phase_ms.get(label, other) < 1.0 * STEPS:
+            continue
+        print(f"\ntop {label} ops (ms/step):")
+        for ms, name in ops:
+            print(f"  {ms / STEPS:8.3f}  {name[:110]}")
 
 
 if __name__ == "__main__":
