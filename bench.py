@@ -1,10 +1,24 @@
-"""Benchmark harness: points/sec/chip + MFU for train + infer.
+"""Benchmark harness: points/sec/chip + MFU + HBM roofline, train + infer.
 
-Prints ONE JSON line. Headline fields (metric/value/vs_baseline) come
-from the ModelNet40 cls/pospool cell; a ``matrix`` field carries every
-{cls, seg, partseg} x {5 operator} cell so the driver catches regressions in the
-non-headline cells too (VERDICT r1 item 5). Every cell reports train AND
-infer throughput plus MFU (VERDICT r2 items 1-2).
+Output contract (VERDICT r3 items 1+4): the LAST stdout line is ONE
+compact headline JSON (metric/value/vs_baseline + MFU + roofline) small
+enough to survive the driver's tail capture. The full 15-cell matrix is
+printed on an EARLIER line and also written to BENCH_MATRIX.json at the
+repo root, so the complete artifact survives regardless of truncation.
+Headline = ModelNet40 cls/pospool; the matrix covers
+{cls, seg, partseg} x {5 operators}, each cell reporting train AND infer
+throughput, MFU, and the HBM roofline fields below.
+
+Roofline accounting (VERDICT r3 item 1): per cell we account HBM bytes
+per step from the COMPILED fused executable — XLA's post-fusion
+``bytes accessed`` (each fusion reads operands / writes outputs from
+HBM) plus the operand+result bytes of every Pallas custom call, which
+XLA's counter treats as zero (tools/hlo_bytes.py). From that:
+  achieved_gbps   = bytes / measured step time
+  floor_ms        = max(bytes / HBM peak, fused_flops / bf16 peak)
+  x_over_floor    = step_ms / floor_ms  (1.0 = speed of light)
+v5e peaks: 819 GB/s HBM, 197 bf16 TFLOP/s (override via
+BENCH_PEAK_GBPS / BENCH_PEAK_TFLOPS).
 
 vs_baseline is SELF-RELATIVE: the pinned value in BENCH_PIN.json is the
 pure-XLA unfused (use_pallas=never, jnp ops) implementation of the same
@@ -41,10 +55,12 @@ import time
 
 import numpy as np
 
-# TPU v5e (v5 lite) bf16 peak: 197 TFLOP/s per chip.
+# TPU v5e (v5 lite) peaks: 197 bf16 TFLOP/s, 819 GB/s HBM per chip.
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12
+PEAK_GBPS = float(os.environ.get("BENCH_PEAK_GBPS", 819))
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 
 def load_flops_pins() -> dict:
@@ -207,6 +223,31 @@ def _mfu(flops, dt, n_chips):
     return round(flops / dt / n_chips / PEAK_FLOPS, 4)
 
 
+def _roofline(cell: dict, tag: str, compiled, dt: float, fused_flops):
+    """HBM roofline fields for one timed executable (see module doc).
+
+    Bytes come from the fused program actually timed: XLA post-fusion
+    'bytes accessed' + Pallas custom-call I/O (invisible to XLA's
+    counter). floor = max(HBM floor, MXU floor from fused flops)."""
+    from tools.hlo_bytes import executable_bytes
+
+    try:
+        by = executable_bytes(compiled)
+    except Exception:  # keep the bench alive if HLO text shape changes
+        return
+    total = by["total"]
+    if not total or not dt:
+        return
+    cell[f"{tag}_gb"] = round(total / 1e9, 3)
+    cell[f"{tag}_gbps"] = round(total / dt / 1e9, 1)
+    hbm_floor = total / (PEAK_GBPS * 1e9)
+    mxu_floor = (fused_flops or 0.0) / PEAK_FLOPS
+    floor = max(hbm_floor, mxu_floor)
+    cell[f"{tag}_floor_ms"] = round(floor * 1e3, 2)
+    cell[f"{tag}_x_floor"] = round(dt / floor, 2)
+    cell[f"{tag}_floor_bound"] = "hbm" if hbm_floor >= mxu_floor else "mxu"
+
+
 def run_cell(task: str, op: str, steps: int, measure_infer: bool,
              num_points=None, batch=None, flops_pins=None):
     """Train (and optionally infer) one benchmark cell; returns stats."""
@@ -251,6 +292,7 @@ def run_cell(task: str, op: str, steps: int, measure_infer: bool,
     if pin.get("train_flops"):
         cell["gflops_train_unfused"] = round(pin["train_flops"] / 1e9, 2)
         cell["mfu_train"] = _mfu(pin["train_flops"], train_dt, n_chips)
+    _roofline(cell, "train", tcomp, train_dt, fused_train)
 
     if measure_infer:
         # infer: repeated identical calls would replay — cycle over
@@ -278,6 +320,7 @@ def run_cell(task: str, op: str, steps: int, measure_infer: bool,
             cell["gflops_infer_unfused"] = round(
                 pin["infer_flops"] / 1e9, 2)
             cell["mfu_infer"] = _mfu(pin["infer_flops"], infer_dt, n_chips)
+        _roofline(cell, "infer", ecomp, infer_dt, fused_infer)
     return cell
 
 
@@ -330,6 +373,12 @@ def main():
             "mfu_train": cell.get("mfu_train"),
             "mfu_infer": cell.get("mfu_infer"),
             "mfu_kind": "unfused_xla_flops_over_v5e_bf16_peak",
+            "train_gbps": cell.get("train_gbps"),
+            "train_floor_ms": cell.get("train_floor_ms"),
+            "train_x_floor": cell.get("train_x_floor"),
+            "train_floor_bound": cell.get("train_floor_bound"),
+            "roofline_kind":
+                "fused_hbm_bytes_819gbps_vs_fused_flops_197tf",
             "config": {"task": task, "op": op, "points": cell["points"],
                        "batch": cell["batch"],
                        "chips": len(jax.devices()), "precision": "bf16"},
@@ -354,7 +403,7 @@ def main():
     seg_pin = pins.get("seg_pospool", {}).get("train_pps")
     if seg_pin:
         seg["vs_pin"] = round(seg["train_pps"] / seg_pin, 3)
-    print(json.dumps({
+    headline = {
         "metric": "points_per_sec_per_chip_train",
         "value": head["train_pps"],
         "unit": "points/s",
@@ -366,11 +415,25 @@ def main():
         "mfu_train": head.get("mfu_train"),
         "mfu_infer": head.get("mfu_infer"),
         "mfu_kind": "unfused_xla_flops_over_v5e_bf16_peak",
+        "train_gbps": head.get("train_gbps"),
+        "train_floor_ms": head.get("train_floor_ms"),
+        "train_x_floor": head.get("train_x_floor"),
+        "train_floor_bound": head.get("train_floor_bound"),
+        "roofline_kind": "fused_hbm_bytes_819gbps_vs_fused_flops_197tf",
         "config": {"task": "cls", "op": "pospool",
                    "points": head["points"], "batch": head["batch"],
                    "chips": len(jax.devices()), "precision": "bf16"},
-        "matrix": matrix,
-    }))
+        "matrix_file": "BENCH_MATRIX.json",
+    }
+    full = dict(headline)
+    full["matrix"] = matrix
+    with open(os.path.join(_REPO, "BENCH_MATRIX.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # full matrix first, compact headline LAST: the driver records the
+    # tail of stdout, and the ~3KB matrix line used to truncate the
+    # headline fields away (VERDICT r3 item 4 / missing #6)
+    print(json.dumps(full))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

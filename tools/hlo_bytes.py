@@ -1,0 +1,100 @@
+"""HBM byte accounting for a compiled XLA executable (roofline input).
+
+XLA's ``cost_analysis()["bytes accessed"]`` models post-fusion HBM
+traffic (each fusion reads its operands and writes its outputs), but
+treats custom calls — i.e. every Pallas kernel — as zero bytes. This
+module closes that hole by parsing the optimized HLO text: it maps
+instruction names to their shapes and charges every ``custom-call``
+its operand + result bytes (what the Pallas kernel actually streams
+through HBM, since kernel I/O lives in HBM and is staged via VMEM).
+
+The result is an *estimate*: XLA's number itself is analytic (it
+assumes no cache reuse between fusions and charges multi-consumer
+buffers once per consumer), and instruction names are assumed unique
+module-wide (true for XLA's SSA-style dumps). Good to ~10-20%, which
+is what a roofline needs.
+
+Reference has no analogue (SURVEY §5 tracing: none beyond timing
+meters); this is the bandwidth half of VERDICT r3 item 1.
+"""
+
+from __future__ import annotations
+
+import re
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1,
+    "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4,
+    "s64": 8, "u64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+    "token": 0, "s4": 1, "u4": 1,
+}
+
+# one array shape: dtype[d0,d1,...] with optional {layout...} suffix
+_SHAPE_RE = re.compile(r"(pred|[suf]\d+|bf16|c64|c128|token)\[([0-9,]*)\]")
+# an instruction definition line: "  %name = <shape-spec> opcode(...)"
+_DEF_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\(?[^=]*?)\s"
+                     r"([a-z][\w\-]*)\(")
+_OPERAND_RE = re.compile(r"%([\w.\-]+)")
+
+
+def _shape_bytes(spec: str) -> int:
+    """Total bytes of every array shape appearing in ``spec`` (handles
+    tuples by summing the leaves)."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(spec):
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n * _DTYPE_BYTES.get(dtype, 4)
+    return total
+
+
+def custom_call_bytes(hlo_text: str) -> int:
+    """Sum of operand + result bytes over every custom-call in the
+    optimized HLO module text (``compiled.as_text()``)."""
+    shapes: dict[str, int] = {}
+    calls: list[tuple[str, list[str]]] = []
+    for line in hlo_text.splitlines():
+        m = _DEF_RE.match(line)
+        if not m:
+            continue
+        name, spec, opcode = m.groups()
+        shapes[name] = _shape_bytes(spec)
+        if opcode == "custom-call":
+            # operands: %refs inside the first paren group after opcode
+            body = line[m.end():]
+            depth, end = 1, 0
+            for i, ch in enumerate(body):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            operands = _OPERAND_RE.findall(body[:end])
+            calls.append((name, operands))
+    total = 0
+    for name, operands in calls:
+        total += shapes.get(name, 0)
+        for op in operands:
+            total += shapes.get(op, 0)
+    return total
+
+
+def executable_bytes(compiled) -> dict:
+    """Roofline byte accounting for a ``jax.stages.Compiled``.
+
+    Returns {"xla": bytes from cost_analysis (fusions etc.),
+             "custom_call": bytes through Pallas/custom-call I/O,
+             "total": sum}.
+    """
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    xla = float((ca or {}).get("bytes accessed") or 0.0)
+    cc = float(custom_call_bytes(compiled.as_text()))
+    return {"xla": xla, "custom_call": cc, "total": xla + cc}
