@@ -40,7 +40,8 @@ def build_dataset(cfg, split: str):
         from closerlook3d_tpu.data.synthetic import SyntheticPartSegmentation
         ds = SyntheticPartSegmentation(
             256 if split == "train" else 64, cfg.num_points,
-            seed=cfg.rng_seed)
+            seed=cfg.rng_seed + (0 if split == "train" else 1),
+            label_noise=float(getattr(cfg, "synthetic_label_noise", 0.0)))
         cfg.num_parts = list(ds.num_parts)
         cfg.task = "part_segmentation"
         return ds
@@ -48,7 +49,7 @@ def build_dataset(cfg, split: str):
         from closerlook3d_tpu.data.synthetic import SyntheticSceneSegmentation
         ds = SyntheticSceneSegmentation(
             256 if split == "train" else 64, cfg.num_points,
-            seed=cfg.rng_seed)
+            seed=cfg.rng_seed + (0 if split == "train" else 1))
         cfg.num_classes = ds.num_classes
         cfg.task = "scene_segmentation"
         return ds

@@ -129,14 +129,27 @@ class SyntheticClassification:
 
 
 class SyntheticPartSegmentation:
-    """Two-category part segmentation: parts = geometric halves/features."""
+    """Two-category part segmentation: parts = geometric halves/features.
+
+    ``label_noise`` injects annotation noise (parity-proxy endpoint,
+    VERDICT r3 item 3): each point's label is flipped, with that
+    probability, to a uniformly-random OTHER part of the same category
+    — in BOTH splits, mimicking real benchmarks' annotation noise. The
+    Bayes-optimal predictor (the true geometric labeling) then scores
+    ~(1 - p) against the noisy val labels, so the task ceiling drops
+    below 1.0 and every operator that learns the boundary saturates at
+    the SAME ceiling — the regime in which the paper's operator
+    clustering is measured (SURVEY §6: all ops within ~0.5 at full
+    convergence on real, noisily-annotated benchmarks)."""
 
     num_parts = (2, 3)  # category 0: sphere top/bottom; 1: cylinder 3 bands
 
-    def __init__(self, num_samples: int, num_points: int, seed: int = 0):
+    def __init__(self, num_samples: int, num_points: int, seed: int = 0,
+                 label_noise: float = 0.0):
         self.num_samples = num_samples
         self.num_points = num_points
         self.seed = seed
+        self.label_noise = label_noise
 
     def __len__(self):
         return self.num_samples
@@ -151,6 +164,13 @@ class SyntheticPartSegmentation:
             pts, nrm = _cylinder(rng, self.num_points)
             band = np.digitize(pts[:, 2], [-0.33, 0.33])
             labels = 2 + band.astype(np.int32)  # global parts 2,3,4
+        if self.label_noise > 0.0:
+            lo, k = (0, 2) if cat == 0 else (2, 3)
+            flip = rng.random(self.num_points) < self.label_noise
+            # uniform over the OTHER k-1 parts of this category
+            shift = rng.integers(1, k, size=self.num_points)
+            labels = np.where(flip, lo + (labels - lo + shift) % k,
+                              labels).astype(np.int32)
         return {
             "xyz": pts.astype(np.float32),
             "normals": nrm.astype(np.float32),

@@ -35,6 +35,7 @@ def default_config() -> ConfigDict:
     c.input_features_dim = 3
     c.input_features = "xyz"  # ones|xyz|normals|rgb|height (comma combos)
     c.synthetic_noise = 0.01  # synthetic-cls difficulty (parity proxy)
+    c.synthetic_label_noise = 0.0  # partseg annotation-noise rate (parity proxy)
     c.batch_size = 32
     c.num_workers = 0
     c.task = "classification"  # classification|part_segmentation|scene_segmentation

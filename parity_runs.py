@@ -47,31 +47,48 @@ TASKS = {
     # partseg/scene budgets doubled in round 2: at 24/15 epochs the
     # parameter-free pospool lagged the learned operators (partseg
     # spread 0.10); the spread is a convergence artifact, not an
-    # operator gap, so the harness trains to where it closes
+    # operator gap, so the harness trains to where it closes.
+    # val_seed_offset=1 records the round-4 fix: the val split now uses
+    # a held-out generator seed (it was previously a SUBSET of train),
+    # and its presence invalidates pre-fix cached cells.
     "partseg": dict(datasets="synthetic_partseg", epochs=48,
-                    num_points=512, batch=16, metric="miou"),
+                    num_points=512, batch=16, metric="miou",
+                    val_seed_offset=1),
     "scene": dict(datasets="synthetic_scene", epochs=30, num_points=1024,
-                  batch=8, metric="miou"),
+                  batch=8, metric="miou", val_seed_offset=1),
 }
 
 # reference-capacity pass: the paper's standard trunk (width 144,
 # depth 2, SURVEY.md §2.4) on the worst-spread width-48 task
-CAPACITY = dict(task="partseg", width=144, depth=2, seed=7)
+CAPACITY = dict(task="partseg", width=144, depth=2, seed=7,
+                val_seed_offset=1)
 
 # budget-scaling probe (--budget): the extreme pair of the width-48
-# spread at 1x/2x/4x the proxy budget. The question it answers: does
-# the weakest operator plateau (trunk defect) or keep converging
-# toward the task ceiling (convergence-rate gap)? The synthetic tasks
-# label points by sharp geometric boundaries, so their achievable
-# ceiling is 1.0 and the score measures boundary localization at a
-# fixed budget — unlike the paper's benchmarks, where every operator
-# saturates the dataset ceiling after ~600 epochs (that saturation IS
-# the paper's clustering).
+# spread at 1x/2x/4x/8x/16x the proxy budget (extended to its endpoint
+# in round 4, VERDICT r3 item 3). The question it answers: does the
+# weakest operator plateau (trunk defect) or keep converging toward
+# the task ceiling (convergence-rate gap)? The synthetic tasks label
+# points by sharp geometric boundaries, so their achievable ceiling is
+# 1.0 and the score measures boundary localization at a fixed budget —
+# unlike the paper's benchmarks, where every operator saturates the
+# dataset ceiling after ~600 epochs (that saturation IS the paper's
+# clustering).
 BUDGET = dict(task="partseg", ops=["pospool", "pseudo_grid"],
-              epochs=[48, 96, 192], seed=7)
+              epochs=[48, 96, 192, 384, 768], seed=7)
+
+# annotation-noise probe (--noise-probe): the paper-regime experiment
+# (VERDICT r3 item 3 alternative). Inject label noise into BOTH splits
+# of the partseg task so the Bayes ceiling drops to ~(1 - p): every
+# operator that learns the geometry saturates at the SAME noisy
+# ceiling, reproducing the regime in which the paper's clustering is
+# measured. Clustering is then judged exactly as for the main matrix:
+# spread of per-op means <= 2 x mean per-op seed sigma.
+NOISE = dict(task="partseg", label_noise=0.1, epochs=192,
+             seeds=[7, 8, 9], ops=list(OPS))
 
 
-def _cfg_for(task: str, op: str, seed: int, width=48, depth=1):
+def _cfg_for(task: str, op: str, seed: int, width=48, depth=1,
+             label_noise=0.0):
     from closerlook3d_tpu.utils.config import load_config
 
     proto = TASKS[task]
@@ -96,6 +113,7 @@ def _cfg_for(task: str, op: str, seed: int, width=48, depth=1):
     cfg.rng_seed = seed
     if "noise" in proto:
         cfg.synthetic_noise = proto["noise"]
+    cfg.synthetic_label_noise = label_noise
     if task == "cls":
         cfg.radius = 0.4  # 128 points on the unit shape: keep nbhds full
     if task == "scene":
@@ -108,10 +126,10 @@ def _cfg_for(task: str, op: str, seed: int, width=48, depth=1):
 
 
 def run_cell(task: str, op: str, seed: int, width=48, depth=1,
-             epochs=None):
+             epochs=None, label_noise=0.0):
     from closerlook3d_tpu.train.loop import Trainer
 
-    cfg = _cfg_for(task, op, seed, width, depth)
+    cfg = _cfg_for(task, op, seed, width, depth, label_noise)
     if epochs is not None:
         cfg.epochs = epochs
         cfg.val_interval = max(epochs // 4, 1)
@@ -140,7 +158,9 @@ def main(argv=None):
                    help="rerun cls/pospool seed0 and record the delta")
     p.add_argument("--no-capacity", action="store_true")
     p.add_argument("--budget", action="store_true",
-                   help="run the 1x/2x/4x budget-scaling probe (BUDGET)")
+                   help="run the budget-scaling probe (BUDGET)")
+    p.add_argument("--noise-probe", action="store_true",
+                   help="run the annotation-noise clustering probe (NOISE)")
     args = p.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -155,6 +175,7 @@ def main(argv=None):
     results = {}
     capacity_results = {}
     budget_results = {}
+    noise_results = {}
     prev_rerun_delta = None
     # resume: completed cells from a previous (interrupted) invocation
     # with the same per-task protocol are reused
@@ -172,6 +193,8 @@ def main(argv=None):
                 capacity_results = prev.get("capacity_results", {})
             if prev.get("budget_protocol") == BUDGET:
                 budget_results = prev.get("budget_results", {})
+            if prev.get("noise_protocol") == NOISE:
+                noise_results = prev.get("noise_results", {})
         except (ValueError, KeyError):
             pass
 
@@ -180,9 +203,11 @@ def main(argv=None):
             json.dump({"results": results,
                        "capacity_results": capacity_results,
                        "budget_results": budget_results,
+                       "noise_results": noise_results,
                        "partial": True, "protocol": _protocol(),
                        "capacity_protocol": CAPACITY,
-                       "budget_protocol": BUDGET}, f, indent=1)
+                       "budget_protocol": BUDGET,
+                       "noise_protocol": NOISE}, f, indent=1)
 
     for task in args.tasks:
         for op in args.ops:
@@ -227,6 +252,21 @@ def main(argv=None):
                 budget_results[cell] = run_cell(bt, op, bs, epochs=epochs)
                 _write_partial()
                 print(f"=== budget {cell}: {budget_results[cell]}",
+                      flush=True)
+
+    if args.noise_probe:
+        nt, np_, ne = NOISE["task"], NOISE["label_noise"], NOISE["epochs"]
+        for op in NOISE["ops"]:
+            for seed in NOISE["seeds"]:
+                cell = f"{nt}/{op}/s{seed}"
+                if cell in noise_results:
+                    print(f"=== noise {cell}: cached", flush=True)
+                    continue
+                print(f"=== noise {cell} (p={np_}, e{ne})", flush=True)
+                noise_results[cell] = run_cell(nt, op, seed, epochs=ne,
+                                               label_noise=np_)
+                _write_partial()
+                print(f"=== noise {cell}: {noise_results[cell]}",
                       flush=True)
 
     rerun_delta = prev_rerun_delta
@@ -281,19 +321,47 @@ def main(argv=None):
                  if f"{BUDGET['task']}/{op}/e{e}" in budget_results}
             for op in BUDGET["ops"]}
 
+    noise_summary = None
+    if noise_results:
+        key = TASKS[NOISE["task"]]["metric"]
+        ops_stats = {}
+        for op in NOISE["ops"]:
+            vals = [noise_results[f"{NOISE['task']}/{op}/s{s}"][key]
+                    for s in NOISE["seeds"]
+                    if f"{NOISE['task']}/{op}/s{s}" in noise_results]
+            if vals:
+                mean, std = _mean_std(vals)
+                ops_stats[op] = {"mean": mean, "std": std, "n": len(vals)}
+        if ops_stats:
+            means = [v["mean"] for v in ops_stats.values()]
+            stds = [v["std"] for v in ops_stats.values()]
+            spread = round(max(means) - min(means), 4)
+            sigma = round(max(sum(stds) / len(stds), 1e-4), 4)
+            noise_summary = {
+                "task": NOISE["task"], "metric": key,
+                "label_noise": NOISE["label_noise"],
+                "epochs": NOISE["epochs"], "ops": ops_stats,
+                "spread_of_means": spread, "mean_seed_sigma": sigma,
+                "spread_over_sigma": round(spread / sigma, 2),
+                "clustered": bool(spread <= 2 * sigma),
+            }
+
     out = {
         "platform": jax.devices()[0].platform,
         "ops": args.ops, "seeds": args.seeds,
         "results": results,
         "capacity_results": capacity_results,
         "budget_results": budget_results,
+        "noise_results": noise_results,
         "summary": summary,
         "capacity_summary": cap_summary,
         "budget_summary": bud_summary,
+        "noise_summary": noise_summary,
         "rerun_delta_cls_pospool": rerun_delta,
         "protocol": _protocol(),
         "capacity_protocol": CAPACITY,
         "budget_protocol": BUDGET,
+        "noise_protocol": NOISE,
     }
     with open(partial_path, "w") as f:
         json.dump(out, f, indent=1)
@@ -355,6 +423,31 @@ def main(argv=None):
             row = [f"{bud_summary[op].get(f'e{e}', float('nan')):.4f}"
                    for e in BUDGET["epochs"]]
             lines.append(f"| {op} | " + " | ".join(row) + " |")
+    if noise_summary:
+        ns = noise_summary
+        lines += [
+            "",
+            f"## Annotation-noise probe — {ns['task']}, label noise "
+            f"p={ns['label_noise']} (both splits), {ns['epochs']} epochs,"
+            f" seeds {NOISE['seeds']}, width 48",
+            "",
+            "The paper-regime experiment: with the val ceiling dropped",
+            f"to ~(1-p) = {1 - ns['label_noise']:.2f} (acc) by annotation"
+            " noise, every operator that",
+            "learns the geometry saturates at the SAME ceiling — the",
+            "regime in which the paper's ~0.5-point clustering is",
+            "measured (SURVEY §6).",
+            "",
+            "| " + " | ".join(NOISE["ops"])
+            + " | spread | sigma_seed | spread/sigma | clustered |",
+            "|" + "---|" * (len(NOISE["ops"]) + 4),
+            "| " + " | ".join(
+                (f"{ns['ops'][op]['mean']:.3f}±{ns['ops'][op]['std']:.3f}"
+                 if op in ns["ops"] else "-") for op in NOISE["ops"])
+            + f" | {ns['spread_of_means']} | {ns['mean_seed_sigma']} "
+            + f"| {ns['spread_over_sigma']} "
+            + f"| {'yes' if ns['clustered'] else 'NO'} |",
+        ]
     if rerun_delta is not None:
         lines += ["", f"Rerun delta (cls/pospool, same seeds): "
                       f"{rerun_delta}"]
