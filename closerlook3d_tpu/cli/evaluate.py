@@ -48,9 +48,13 @@ def main(argv=None):
     model, loss_fn = build_model(cfg)
     optimizer, _ = make_optimizer(cfg, 1)
 
+    # multi-host: each process evaluates its sample shard (the
+    # evaluators reduce counts/confusions across processes)
     it = BatchIterator(dataset, cfg.batch_size, shuffle=False,
                        feature_spec=cfg.input_features, drop_last=False,
-                       spatial_sort=cfg.spatial_sort == "host")
+                       spatial_sort=cfg.spatial_sort == "host",
+                       process_index=jax.process_index(),
+                       process_count=jax.process_count())
     sample = device_batch(next(iter(it)), mesh)
     state = create_train_state(cfg, model, optimizer,
                                jax.random.PRNGKey(0), sample, mesh)
@@ -65,7 +69,13 @@ def main(argv=None):
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["xyz"], batch["mask"], batch["features"], train=False)
 
-    jitted_logits = jax.jit(logits_fn)
+    _jitted = jax.jit(logits_fn)
+
+    def jitted_logits(state, batch):
+        # assemble the process-local host batch into a GLOBAL sharded
+        # array (collective under process_count > 1); the evaluators
+        # read back only their local shard rows (_fetch_local)
+        return _jitted(state, device_batch(batch, mesh))
 
     if cfg.task == "scene_segmentation" and cfg.datasets == "s3dis":
         results = evaluate_s3dis_voting(cfg, dataset, state, jitted_logits,

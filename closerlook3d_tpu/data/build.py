@@ -30,7 +30,9 @@ def build_dataset(cfg, split: str):
         from closerlook3d_tpu.data.synthetic import SyntheticClassification
         cfg.task = "classification"
         cfg.num_classes = min(cfg.num_classes, 8)
-        n = 512 if split == "train" else 128
+        n = int(getattr(cfg, "synthetic_train_size", 512)
+                if split == "train"
+                else getattr(cfg, "synthetic_val_size", 128))
         return SyntheticClassification(
             n, cfg.num_points, cfg.num_classes,
             noise=float(getattr(cfg, "synthetic_noise", 0.01)),

@@ -22,7 +22,9 @@ from closerlook3d_tpu.data import transforms as T
 from closerlook3d_tpu.data.loader import build_features
 from closerlook3d_tpu.parallel.collectives import (
     all_processes_concat,
+    all_processes_min,
     all_processes_sum,
+    process_local_rows,
 )
 from closerlook3d_tpu.train.metrics import (
     iou_from_confusion,
@@ -30,6 +32,16 @@ from closerlook3d_tpu.train.metrics import (
     partnet_miou,
     shapenetpart_shape_iou,
 )
+
+
+def _fetch_local(x) -> np.ndarray:
+    """Host copy of the rows this process may read: for a batch-sharded
+    global jax.Array the process-local shard rows (they line up 1:1 with
+    the local host batch — parallel/collectives.py::process_local_rows);
+    identity host copy for numpy/replicated arrays (oracle test fns)."""
+    if hasattr(x, "addressable_shards"):
+        return process_local_rows(x)
+    return np.asarray(x)
 
 
 def _shape_votes(cfg) -> int:
@@ -82,7 +94,7 @@ def evaluate_classification(cfg, state, eval_logits_fn, batch_iter):
         for v in range(votes):
             vb = vote_augment(batch, cfg, rng, v)
             db = {k: vb[k] for k in ("xyz", "mask", "features")}
-            logits = np.asarray(jax.device_get(eval_logits_fn(state, db)))
+            logits = _fetch_local(eval_logits_fn(state, db))
             p = _softmax(logits)
             prob = p if prob is None else prob + p
         pred = prob.argmax(-1)
@@ -118,9 +130,16 @@ def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
 
     bs = cfg.batch_size
     vote_round = 0
-    while owned:
-        min_pot = min(pots[r].min() for r in owned)
-        if min_pot >= cfg.num_votes:
+    while True:
+        # lockstep bound: eval_logits_fn is a COLLECTIVE under
+        # process_count > 1 (global batch assembly + sharded forward), so
+        # every process must run the same number of rounds — the loop
+        # continues until the GLOBAL min potential is covered, processes
+        # whose own rooms finished early keep voting (harmless extra
+        # votes on their rooms; a process owning no rooms sends +inf)
+        local_min = (min(pots[r].min() for r in owned) if owned
+                     else float("inf"))
+        if all_processes_min(local_min) >= cfg.num_votes:
             break
         samples = []
         rooms = []
@@ -138,8 +157,7 @@ def evaluate_s3dis_voting(cfg, dataset, state, eval_logits_fn, logger=None):
                  for b in range(bs)]
         device_batch = {k: batch[k] for k in
                         ("xyz", "mask", "features", "labels")}
-        logits = np.asarray(jax.device_get(
-            eval_logits_fn(state, device_batch)))
+        logits = _fetch_local(eval_logits_fn(state, device_batch))
         prob = _softmax(logits)
         for b, (room_idx, pidx, mask) in enumerate(metas):
             v = mask
@@ -187,7 +205,7 @@ def evaluate_partseg(cfg, dataset, state, eval_logits_fn, batch_iter):
             vb = vote_augment(batch, cfg, rng, v)
             db = {k: vb[k] for k in ("xyz", "mask", "features", "labels",
                                      "category")}
-            lg = np.asarray(jax.device_get(eval_logits_fn(state, db)))
+            lg = _fetch_local(eval_logits_fn(state, db))
             p = _softmax(lg)
             prob = p if prob is None else prob + p
         logits = prob  # softmax averages; argmax below is unchanged

@@ -18,6 +18,7 @@ import numpy as np
 from closerlook3d_tpu.data import BatchIterator, build_dataset
 from closerlook3d_tpu.data.loader import feature_dim
 from closerlook3d_tpu.models import build_model
+from closerlook3d_tpu.parallel.collectives import process_local_rows
 from closerlook3d_tpu.parallel.mesh import make_mesh, shard_batch
 from closerlook3d_tpu.train.checkpoints import CheckpointManager
 from closerlook3d_tpu.train.metrics import AverageMeter, confusion_matrix, \
@@ -43,7 +44,11 @@ class Trainer:
         self.cfg = cfg
         self.workdir = workdir
         self.logger = setup_logger(workdir)
-        self.writer = ScalarWriter(workdir)
+        # rank-0-only scalar stream (reference: DDP rank-gated TB writer,
+        # SURVEY.md §5): validate() reduces metrics across processes, so
+        # non-zero ranks would append byte-identical duplicate rows
+        self.writer = ScalarWriter(
+            workdir if jax.process_index() == 0 else None)
 
         self.train_set = build_dataset(cfg, "train")
         self.val_set = build_dataset(cfg, "test")
@@ -176,12 +181,12 @@ class Trainer:
             keep = ~batch["batch_pad"]
             loss_m.update(float(metrics["loss"]), int(keep.sum()))
             if cfg.task == "classification":
-                pred = np.asarray(jax.device_get(logits)).argmax(-1)
+                pred = process_local_rows(logits).argmax(-1)
                 acc_m.update(
                     float((pred[keep] == batch["label"][keep]).mean()),
                     int(keep.sum()))
             else:
-                lg = np.asarray(jax.device_get(logits))
+                lg = process_local_rows(logits)
                 if cfg.task == "part_segmentation":
                     # restrict to the category slice: out-of-slice
                     # columns carry no training signal (see

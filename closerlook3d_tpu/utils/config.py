@@ -36,6 +36,8 @@ def default_config() -> ConfigDict:
     c.input_features = "xyz"  # ones|xyz|normals|rgb|height (comma combos)
     c.synthetic_noise = 0.01  # synthetic-cls difficulty (parity proxy)
     c.synthetic_label_noise = 0.0  # partseg annotation-noise rate (parity proxy)
+    c.synthetic_train_size = 512  # synthetic split sizes (tiny multi-host
+    c.synthetic_val_size = 128    # tests shrink these; data/build.py)
     c.batch_size = 32
     c.num_workers = 0
     c.task = "classification"  # classification|part_segmentation|scene_segmentation

@@ -1,19 +1,30 @@
 """Worker process for the REAL 2-process multi-host test (not a test).
 
-Usage: python tests/multihost_worker.py <coordinator_port> <pid> <pcnt>
+Usage: python tests/multihost_worker.py <coordinator_port> <pid> <pcnt> \
+           [trainer <workdir>]
 
 Each worker owns 2 virtual CPU devices; jax.distributed.initialize joins
-them into one 2x2-device job. The worker runs 3 global train steps on a
-deterministic batch (its process-local shard assembled into the global
-array by shard_batch) and exercises the host-side collective helpers,
-then prints the final loss for the parent to compare against the
-single-process 4-device run.
+them into one 2x2-device job.
+
+Step mode (default): runs 3 global train steps on a deterministic batch
+(its process-local shard assembled into the global array by shard_batch)
+and exercises the host-side collective helpers, then prints the final
+loss for the parent to compare against the single-process 4-device run.
+
+Trainer mode (VERDICT r3 item 5): drives the FULL Trainer.fit — epoch
+loop, process-sharded data iterators, cross-process validation
+reductions, rank-gated logging/scalars, and Orbax multi-process
+checkpointing (keep-k + best slot) — for 2 tiny epochs in a SHARED
+workdir, then re-constructs a Trainer to prove multi-process
+auto-resume restores the saved step. Prints the best metric and the
+resumed step for the parent to cross-check between ranks.
 """
 
 import os
 import sys
 
 port, pid, pcnt = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "step"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
@@ -35,6 +46,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 from tests.test_train import make_batch, tiny_cfg  # noqa: E402
+
+if mode == "trainer":
+    workdir = sys.argv[5]
+    from closerlook3d_tpu.train.loop import Trainer
+
+    cfg = tiny_cfg()
+    cfg.synthetic_train_size = 48   # 24 local / bs 8 = 3 steps/epoch
+    cfg.synthetic_val_size = 16
+    cfg.epochs = 2
+    cfg.val_interval = 1
+    cfg.save_interval = 1
+    cfg.log_interval = 1
+    cfg.keep_checkpoints = 2
+    cfg.data_parallel = 2 * pcnt
+    cfg.model_parallel = 1
+    cfg.num_workers = 0
+    cfg.use_pallas = "never"  # interpret-mode kernels compile slowly on CPU
+
+    trainer = Trainer(cfg, workdir)
+    best = trainer.fit()
+    step_after = int(trainer.state.step)
+    assert step_after == 2 * 3, step_after  # 2 epochs x 3 global steps
+
+    # multi-process auto-resume: a fresh Trainer on the same workdir
+    # must restore the latest step on every rank
+    resumed = Trainer(cfg, workdir)
+    assert int(resumed.state.step) == step_after, int(resumed.state.step)
+    assert resumed.start_epoch == cfg.epochs + 1, resumed.start_epoch
+    p0 = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    p1 = jax.tree_util.tree_leaves(resumed.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+    # one full evaluator under the real 2-process runtime: shard-local
+    # batches, collective forward, cross-process count reduction
+    from closerlook3d_tpu.train.evaluate import evaluate_classification
+    from closerlook3d_tpu.train.loop import device_batch
+
+    def logits_fn(state, batch):
+        return trainer.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["xyz"], batch["mask"], batch["features"], train=False)
+
+    jitted = jax.jit(logits_fn)
+    res = evaluate_classification(
+        cfg, trainer.state,
+        lambda s, b: jitted(s, device_batch(b, trainer.mesh)),
+        trainer.val_iter)
+    assert res["accuracy"] >= 0.0
+
+    print(f"TRAINER_OK pid={pid} best={best:.6f} step={step_after} "
+          f"evalacc={res['accuracy']:.6f}", flush=True)
+    sys.exit(0)
 
 from closerlook3d_tpu.models import build_model  # noqa: E402
 from closerlook3d_tpu.parallel.collectives import (  # noqa: E402
