@@ -1,20 +1,37 @@
-"""Test configuration: force CPU with 8 virtual devices.
+"""Test configuration: CPU with 8 virtual devices, or real-TPU mode.
 
-Multi-device sharding tests run on a virtual 8-device CPU mesh
+Default: multi-device sharding tests run on a virtual 8-device CPU mesh
 (``xla_force_host_platform_device_count``), the TPU-world way to test
-distributed code without a pod (SURVEY.md §4 item 4). Must run before
-jax initializes its backends, hence env mutation at import time.
+distributed code without a pod (SURVEY.md §4 item 4), and Pallas kernels
+run in interpret mode (via :func:`pallas_test_mode` below). Must run
+before jax initializes its backends, hence env mutation at import time.
+
+``CL3D_TPU_TESTS=1`` (VERDICT r3 item 6) flips the kernel-parity modules
+to COMPILED-on-device execution against the real TPU: the platform
+forcing is skipped, interpret mode stays off, and every module outside
+the kernel/ops allowlist is skipped (they need 8 virtual devices or are
+host-only). Usage, on a machine with the TPU attached::
+
+    CL3D_TPU_TESTS=1 python -m pytest tests/ -q
+
+This runs the SAME pallas-vs-jnp comparisons (fwd + VJP, all six kernel
+families) that gate every CPU run, but with the production compiled
+kernels — catching layout/precision/predication divergences that
+interpret mode cannot see.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["PALLAS_AXON_POOL_IPS"] = ""  # see note below
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_TESTS = os.environ.get("CL3D_TPU_TESTS") == "1"
+
+if not TPU_TESTS:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""  # see note below
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
@@ -24,10 +41,50 @@ import jax  # noqa: E402
 # "CPU" tests onto the remote TPU (slow remote compiles, bf16 matmuls).
 # Env mutation above is too late for sitecustomize; override the config
 # knob directly before any backend initializes.
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Modules that are meaningful against one real chip: kernel-vs-reference
+# parity (compiled Pallas vs jnp) and op-level numpy refs. Everything
+# else needs the 8-device virtual mesh, subprocesses, or host-only
+# machinery and is skipped in TPU mode.
+TPU_MODULES = (
+    "test_pallas_aggregation.py",
+    "test_pallas_moments.py",
+    "test_pallas_multichunk.py",
+    "test_pallas_neighbors.py",
+    "test_pallas_pwmlp.py",
+    "test_spatial.py",
+    "test_ops_interpolate.py",
+    "test_ops_neighbors.py",
+    "test_ops_sampling.py",
+)
+
+
+def pallas_test_mode(monkeypatch, ops_impl=None):
+    """Kernel-test env: interpret-mode Pallas on CPU, compiled on TPU.
+
+    The per-module autouse fixtures call this so one switch
+    (``CL3D_TPU_TESTS=1``) retargets the whole parity suite at the
+    real chip without duplicating any test code.
+    """
+    if not TPU_TESTS:
+        monkeypatch.setenv("CL3D_PALLAS_INTERPRET", "1")
+    if ops_impl is not None:
+        monkeypatch.setenv("CL3D_OPS_IMPL", ops_impl)
+
+
+def pytest_collection_modifyitems(config, items):
+    if not TPU_TESTS:
+        return
+    skip = pytest.mark.skip(
+        reason="needs the 8-virtual-device CPU mesh (unset CL3D_TPU_TESTS)")
+    for item in items:
+        if os.path.basename(str(item.fspath)) not in TPU_MODULES:
+            item.add_marker(skip)
 
 
 @pytest.fixture

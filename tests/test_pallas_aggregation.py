@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+
+import conftest
 import jax
 import jax.numpy as jnp
 
@@ -17,7 +19,7 @@ RADIUS = 0.5
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
-    monkeypatch.setenv("CL3D_PALLAS_INTERPRET", "1")
+    conftest.pallas_test_mode(monkeypatch)
 
 
 @pytest.fixture(scope="module")

@@ -11,13 +11,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import conftest
+
 B, NQ, NS, K, C = 1, 260, 2600, 7, 12  # NS spans 2 chunks (cs=2048)
 RADIUS = 0.35
 
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
-    monkeypatch.setenv("CL3D_PALLAS_INTERPRET", "1")
+    conftest.pallas_test_mode(monkeypatch)
 
 
 @pytest.fixture(scope="module")

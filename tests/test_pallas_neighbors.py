@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
+import conftest
 from closerlook3d_tpu.ops.neighbors import ball_query
 from closerlook3d_tpu.ops.sampling import furthest_point_sample
 from closerlook3d_tpu.ops.pallas.neighbors import ball_query_pallas
@@ -12,8 +13,8 @@ from closerlook3d_tpu.ops.pallas.sampling import furthest_point_sample_pallas
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
-    monkeypatch.setenv("CL3D_PALLAS_INTERPRET", "1")
-    monkeypatch.setenv("CL3D_OPS_IMPL", "jnp")  # reference entry points
+    # reference entry points stay jnp in both CPU and TPU modes
+    conftest.pallas_test_mode(monkeypatch, ops_impl="jnp")
 
 
 @pytest.fixture(scope="module")

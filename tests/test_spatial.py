@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import conftest
+
 from closerlook3d_tpu.ops.spatial import (
     apply_permutation,
     morton_code,
@@ -98,7 +100,7 @@ def test_chunk_flags_cover_all_indices():
 
 def test_pospool_fused_invariant_to_support_order(monkeypatch):
     """Chunk-skipping kernel: sorted vs shuffled support, same answer."""
-    monkeypatch.setenv("CL3D_PALLAS_INTERPRET", "1")
+    conftest.pallas_test_mode(monkeypatch)
     from closerlook3d_tpu.ops.pallas.aggregation import pospool_fused
 
     rng = np.random.default_rng(5)
