@@ -176,6 +176,7 @@ def main(argv=None):
     capacity_results = {}
     budget_results = {}
     noise_results = {}
+    kept_tasks = set()
     prev_rerun_delta = None
     # resume: completed cells from a previous (interrupted) invocation
     # with the same per-task protocol are reused
@@ -184,14 +185,25 @@ def main(argv=None):
             with open(partial_path) as f:
                 prev = json.load(f)
             prev_rerun_delta = prev.get("rerun_delta_cls_pospool")
+            # keep every task whose stored protocol matches the CURRENT
+            # TASKS definition — even tasks outside --tasks — so a
+            # probe-only invocation (--tasks with no values) does not
+            # drop the committed matrix cells when it writes partials
+            full_proto = {t: {**TASKS[t], "seeds": args.seeds}
+                          for t in TASKS}
             for t, proto in prev.get("protocol", {}).items():
-                if t in TASKS and proto == _protocol().get(t):
+                if t in TASKS and proto == full_proto[t]:
+                    kept_tasks.add(t)
                     results.update(
                         {k: v for k, v in prev.get("results", {}).items()
                          if k.startswith(t + "/")})
             if prev.get("capacity_protocol") == CAPACITY:
                 capacity_results = prev.get("capacity_results", {})
-            if prev.get("budget_protocol") == BUDGET:
+            # budget cells are keyed by epoch count, so a longer
+            # epochs list (probe extension) keeps the earlier points
+            pb = prev.get("budget_protocol") or {}
+            if {k: v for k, v in pb.items() if k != "epochs"} == \
+                    {k: v for k, v in BUDGET.items() if k != "epochs"}:
                 budget_results = prev.get("budget_results", {})
             if prev.get("noise_protocol") == NOISE:
                 noise_results = prev.get("noise_results", {})
@@ -199,12 +211,14 @@ def main(argv=None):
             pass
 
     def _write_partial():
+        proto = {t: {**TASKS[t], "seeds": args.seeds}
+                 for t in kept_tasks | set(args.tasks)}
         with open(partial_path, "w") as f:
             json.dump({"results": results,
                        "capacity_results": capacity_results,
                        "budget_results": budget_results,
                        "noise_results": noise_results,
-                       "partial": True, "protocol": _protocol(),
+                       "partial": True, "protocol": proto,
                        "capacity_protocol": CAPACITY,
                        "budget_protocol": BUDGET,
                        "noise_protocol": NOISE}, f, indent=1)
@@ -236,6 +250,24 @@ def main(argv=None):
             print(f"=== capacity {cell}: {capacity_results[cell]}",
                   flush=True)
 
+    # noise probe first: it is the paper-regime experiment and the
+    # round's decisive artifact — if the session is cut short, the
+    # budget extension is the one to lose
+    if args.noise_probe:
+        nt, np_, ne = NOISE["task"], NOISE["label_noise"], NOISE["epochs"]
+        for op in NOISE["ops"]:
+            for seed in NOISE["seeds"]:
+                cell = f"{nt}/{op}/s{seed}"
+                if cell in noise_results:
+                    print(f"=== noise {cell}: cached", flush=True)
+                    continue
+                print(f"=== noise {cell} (p={np_}, e{ne})", flush=True)
+                noise_results[cell] = run_cell(nt, op, seed, epochs=ne,
+                                               label_noise=np_)
+                _write_partial()
+                print(f"=== noise {cell}: {noise_results[cell]}",
+                      flush=True)
+
     if args.budget:
         bt, bs = BUDGET["task"], BUDGET["seed"]
         for epochs in BUDGET["epochs"]:
@@ -254,21 +286,6 @@ def main(argv=None):
                 print(f"=== budget {cell}: {budget_results[cell]}",
                       flush=True)
 
-    if args.noise_probe:
-        nt, np_, ne = NOISE["task"], NOISE["label_noise"], NOISE["epochs"]
-        for op in NOISE["ops"]:
-            for seed in NOISE["seeds"]:
-                cell = f"{nt}/{op}/s{seed}"
-                if cell in noise_results:
-                    print(f"=== noise {cell}: cached", flush=True)
-                    continue
-                print(f"=== noise {cell} (p={np_}, e{ne})", flush=True)
-                noise_results[cell] = run_cell(nt, op, seed, epochs=ne,
-                                               label_noise=np_)
-                _write_partial()
-                print(f"=== noise {cell}: {noise_results[cell]}",
-                      flush=True)
-
     rerun_delta = prev_rerun_delta
     first_cell = f"cls/pospool/s{args.seeds[0]}"
     if args.repeat_check and first_cell in results:
@@ -277,8 +294,10 @@ def main(argv=None):
         rerun_delta = round(abs(again[key] - results[first_cell][key]), 4)
 
     # per-operator mean +/- sigma over seeds; per-task clustering verdict
+    # (summarize kept-cache tasks too, so probe-only runs keep the matrix)
+    all_tasks = [t for t in TASKS if t in kept_tasks or t in args.tasks]
     summary = {}
-    for task in args.tasks:
+    for task in all_tasks:
         key = TASKS[task]["metric"]
         ops_stats = {}
         for op in args.ops:
@@ -358,7 +377,8 @@ def main(argv=None):
         "budget_summary": bud_summary,
         "noise_summary": noise_summary,
         "rerun_delta_cls_pospool": rerun_delta,
-        "protocol": _protocol(),
+        "protocol": {t: {**TASKS[t], "seeds": args.seeds}
+                     for t in all_tasks},
         "capacity_protocol": CAPACITY,
         "budget_protocol": BUDGET,
         "noise_protocol": NOISE,
@@ -384,7 +404,7 @@ def main(argv=None):
         + " | spread | sigma_seed | spread/sigma | clustered |",
         "|---|" + "---|" * (len(args.ops) + 4),
     ]
-    for task in args.tasks:
+    for task in all_tasks:
         if task not in summary:
             continue
         s = summary[task]
