@@ -433,7 +433,9 @@ def main(argv=None):
         lines += [
             "",
             f"## Budget scaling — {BUDGET['task']}, seed {BUDGET['seed']},"
-            " width 48 (1x/2x/4x epochs)",
+            " width 48 ("
+            + "/".join(f"{e // BUDGET['epochs'][0]}x"
+                       for e in BUDGET["epochs"]) + " epochs)",
             "",
             "| op | " + " | ".join(f"{e} ep" for e in BUDGET["epochs"])
             + " |",
