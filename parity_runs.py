@@ -479,16 +479,15 @@ def main(argv=None):
         "",
         "A 'clustered: yes' row means the operator ordering is",
         "statistically indistinguishable from seed noise at that",
-        "capacity/budget. The measured verdict (2026-08, v5e): the",
-        "spreads are NOT seed noise — the operator ordering",
+        "capacity/budget. The measured verdict (2026-08, v5e): on the",
+        "CLEAN sharp-boundary tasks the spreads are NOT seed noise —",
+        "the operator ordering",
         "(pseudo_grid > pointwisemlp ~ pospool-sincos > adaptive_weight",
         "> pospool-xyz) is stable across seeds and tasks. The follow-up",
         "probes attribute it:",
         "",
         "- Budget scaling: every operator keeps climbing toward the",
-        "  task ceiling of 1.0; no operator plateaus. Doubling the",
-        "  budget moves pospool-xyz by +2.4-2.9 mIoU points per",
-        "  doubling while pseudo_grid saturates — the spread is a",
+        "  task ceiling of 1.0; no operator plateaus — the spread is a",
         "  CONVERGENCE-RATE gap, shrinking with budget, not a trunk",
         "  defect (a trunk bug that harms one operator would cap its",
         "  attainable score, not merely slow it).",
@@ -497,16 +496,40 @@ def main(argv=None):
         "- Trunk audit: dp radius-normalization, masked-reduction and",
         "  shadow-padding conventions, slot-0 df/nearest-carrier,",
         "  bottleneck/BN structure are each pinned by unit tests.",
+    ]
+    if noise_summary:
+        ns = noise_summary
+        if ns["clustered"]:
+            lines += [
+                "- Annotation noise (the endpoint experiment): with the",
+                "  task ceiling dropped below 1.0, the five operators'",
+                f"  spread collapses to {ns['spread_of_means']} =",
+                f"  {ns['spread_over_sigma']}x seed sigma — *clustered*,",
+                "  reproducing the paper's central qualitative fact in",
+                "  the regime where it is defined (every operator",
+                "  saturates the same noisy ceiling).",
+            ]
+        else:
+            lines += [
+                "- Annotation noise: even with the ceiling dropped",
+                f"  below 1.0 the spread stays {ns['spread_of_means']}",
+                f"  = {ns['spread_over_sigma']}x seed sigma — the",
+                "  budget/capacity used here does not yet reach the",
+                "  paper's saturation regime (or a pospool-path defect",
+                "  remains; see the budget column trends).",
+            ]
+    lines += [
         "",
-        "Why this differs from the paper's ~0.5-point clustering: the",
-        "synthetic tasks label points by SHARP geometric boundaries, so",
-        "their attainable ceiling is 1.0 and a fixed small budget",
+        "Why the clean tasks differ from the paper's ~0.5-point",
+        "clustering: they label points by SHARP geometric boundaries,",
+        "so their attainable ceiling is 1.0 and a fixed small budget",
         "measures boundary-localization convergence speed — exactly the",
         "regime where operator expressivity differs. The paper's",
         "clustering is measured at full convergence (~600 epochs) on",
         "real benchmarks whose annotation-noise ceilings every operator",
-        "reaches; reproducing that regime needs the real datasets",
-        "(unavailable here — BASELINE.md). The proxy still pins what it",
+        "reaches; the noise probe reproduces that regime synthetically,",
+        "and real-benchmark numbers still need the real datasets",
+        "(unavailable here — BASELINE.md). The proxy pins what it",
         "can: all five operators learn every task through one trunk,",
         "metrics reproduce exactly under pinned seeds, and the gap",
         "closes monotonically with budget and capacity.",
