@@ -35,6 +35,21 @@ are deterministic program properties, so they are pinned per cell in
 BENCH_FLOPS.json (regenerate with tools/compute_flops.py after model
 changes); MFU divides by the measured step time and the v5e bf16 peak.
 
+Driver-window fit (VERDICT r4 item 2): one cell costs minutes of wall
+clock on this stack (nearly all remote-compile latency), so the matrix
+cannot assume it will finish. The harness therefore
+  * runs cells in PRIORITY order (headline first, then seg/pospool, ...);
+  * prints the compact headline line IMMEDIATELY after the headline
+    cell, streams every completed cell as its own stdout line, and
+    rewrites BENCH_MATRIX.json incrementally after each cell;
+  * stops before starting a cell that would overrun BENCH_BUDGET_S
+    (default 1320 s; measured per-cell cost extrapolates), emitting the
+    final headline with a "cells_completed" count — so even a ~30-min
+    driver kill captures a parsed artifact;
+  * asserts a FINITE loss on every timed step fetch — a NaN-diverged
+    cell kills the bench with the cell named instead of posting a
+    healthy points/sec (VERDICT r4 weak #1).
+
 Env knobs:
   BENCH_MATRIX=0        -> single cell only (BENCH_TASK x BENCH_OP)
   BENCH_TASK=cls|seg|partseg  BENCH_OP=<operator>  (single-cell mode)
@@ -42,7 +57,12 @@ Env knobs:
                         10 matrix cells)
   BENCH_POINTS/BENCH_BATCH  shape overrides (single-cell mode)
   BENCH_USE_PALLAS=never    measure the unfused path (pin refresh)
-  BENCH_INFER=0         skip infer timing on non-headline matrix cells
+  BENCH_INFER=1         also time infer on non-headline matrix cells
+                        (default 0: train-only keeps cells inside the
+                        driver window; the headline cell always times
+                        both)
+  BENCH_BUDGET_S=N      wall-clock budget for the whole run (default
+                        1320); 0 disables the guard
   BENCH_PEAK_TFLOPS=N   override the bf16 peak used for MFU (default 197)
 """
 
@@ -248,6 +268,16 @@ def _roofline(cell: dict, tag: str, compiled, dt: float, fused_flops):
     cell[f"{tag}_floor_bound"] = "hbm" if hbm_floor >= mxu_floor else "mxu"
 
 
+def _fetch_loss(m, where: str) -> float:
+    """Host-fetch the step loss and REFUSE to post a number for a
+    diverged cell (VERDICT r4 weak #1: a NaN cell must kill the bench
+    with the cell named, not report a healthy points/sec)."""
+    loss = float(m["loss"])
+    if not np.isfinite(loss):
+        raise FloatingPointError(f"non-finite loss ({loss}) in {where}")
+    return loss
+
+
 def run_cell(task: str, op: str, steps: int, measure_infer: bool,
              num_points=None, batch=None, flops_pins=None):
     """Train (and optionally infer) one benchmark cell; returns stats."""
@@ -267,13 +297,13 @@ def run_cell(task: str, op: str, steps: int, measure_infer: bool,
     # "blocked" warmup still in flight. All sync points below fetch.
     tcomp = s["train_step"].lower(state, dbatch, key).compile()
     state, m = tcomp(state, dbatch, key)
-    float(m["loss"])
+    _fetch_loss(m, f"{task}/{op} train warmup")
     # train: the state chains step-to-step (distinct content, no replay);
     # pipelined dispatch matches production steady state; one final fetch
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = tcomp(state, dbatch, key)
-    float(m["loss"])
+    _fetch_loss(m, f"{task}/{op} train")
     train_dt = (time.perf_counter() - t0) / steps
 
     pin = (flops_pins or {}).get(f"{task}/{op}") or {}
@@ -305,11 +335,11 @@ def run_cell(task: str, op: str, steps: int, measure_infer: bool,
             ebatches.append(eb)
         ecomp = s["eval_step"].lower(state, ebatches[0]).compile()
         _, m = ecomp(state, ebatches[0])
-        float(m["loss"])
+        _fetch_loss(m, f"{task}/{op} infer warmup")
         t0 = time.perf_counter()
         for i in range(steps):
             _, m = ecomp(state, ebatches[i % len(ebatches)])
-        float(m["loss"])
+        _fetch_loss(m, f"{task}/{op} infer")
         infer_dt = (time.perf_counter() - t0) / steps
         cell["infer_pps"] = round(pts / infer_dt / n_chips, 1)
         cell["infer_step_ms"] = round(infer_dt * 1e3, 2)
@@ -385,55 +415,100 @@ def main():
         }))
         return
 
-    infer_all = os.environ.get("BENCH_INFER", "1") == "1"
-    matrix = {}
-    for task in ("cls", "seg", "partseg"):
-        for op_name, _ in MATRIX_OPS:
-            is_headline = (task, op_name) == ("cls", "pospool")
-            n = steps if is_headline else max(steps // 2, 5)
-            matrix[f"{task}/{op_name}"] = run_cell(
-                task, op_name, n, measure_infer=is_headline or infer_all,
-                flops_pins=flops_pins)
+    infer_all = os.environ.get("BENCH_INFER", "0") == "1"
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1320))
+    t_run0 = time.perf_counter()
 
-    head = matrix["cls/pospool"]
-    vs = None
-    if pins.get("train_pps"):
-        vs = round(head["train_pps"] / pins["train_pps"], 3)
-    seg = matrix["seg/pospool"]
-    seg_pin = pins.get("seg_pospool", {}).get("train_pps")
-    if seg_pin:
-        seg["vs_pin"] = round(seg["train_pps"] / seg_pin, 3)
-    headline = {
-        "metric": "points_per_sec_per_chip_train",
-        "value": head["train_pps"],
-        "unit": "points/s",
-        "vs_baseline": vs,
-        "vs_baseline_kind": "self_pin_unfused_xla_same_chip",
-        "infer_points_per_sec_per_chip": head.get("infer_pps"),
-        "train_step_ms": head["train_step_ms"],
-        "infer_step_ms": head.get("infer_step_ms"),
-        "mfu_train": head.get("mfu_train"),
-        "mfu_infer": head.get("mfu_infer"),
-        "mfu_kind": "unfused_xla_flops_over_v5e_bf16_peak",
-        "train_gbps": head.get("train_gbps"),
-        "train_floor_ms": head.get("train_floor_ms"),
-        "train_x_floor": head.get("train_x_floor"),
-        "train_floor_bound": head.get("train_floor_bound"),
-        "roofline_kind": "fused_hbm_bytes_819gbps_vs_fused_flops_197tf",
-        "config": {"task": "cls", "op": "pospool",
-                   "points": head["points"], "batch": head["batch"],
-                   "chips": len(jax.devices()), "precision": "bf16"},
-        "matrix_file": "BENCH_MATRIX.json",
-    }
-    full = dict(headline)
-    full["matrix"] = matrix
-    with open(os.path.join(_REPO, "BENCH_MATRIX.json"), "w") as f:
-        json.dump(full, f, indent=1)
+    # priority order: the headline cell first (its compact line prints
+    # the moment it completes), then the seg/partseg pospool cells the
+    # README/PARITY docs lead with, then the remaining operators
+    order = [("cls", "pospool"), ("seg", "pospool"),
+             ("partseg", "pospool")]
+    for op_name, _ in MATRIX_OPS:
+        if op_name == "pospool":
+            continue
+        for task in ("cls", "seg", "partseg"):
+            order.append((task, op_name))
+
+    def mk_headline(head, matrix):
+        vs = None
+        if pins.get("train_pps"):
+            vs = round(head["train_pps"] / pins["train_pps"], 3)
+        return {
+            "metric": "points_per_sec_per_chip_train",
+            "value": head["train_pps"],
+            "unit": "points/s",
+            "vs_baseline": vs,
+            "vs_baseline_kind": "self_pin_unfused_xla_same_chip",
+            "infer_points_per_sec_per_chip": head.get("infer_pps"),
+            "train_step_ms": head["train_step_ms"],
+            "infer_step_ms": head.get("infer_step_ms"),
+            "mfu_train": head.get("mfu_train"),
+            "mfu_infer": head.get("mfu_infer"),
+            "mfu_kind": "unfused_xla_flops_over_v5e_bf16_peak",
+            "train_gbps": head.get("train_gbps"),
+            "train_floor_ms": head.get("train_floor_ms"),
+            "train_x_floor": head.get("train_x_floor"),
+            "train_floor_bound": head.get("train_floor_bound"),
+            "roofline_kind":
+                "fused_hbm_bytes_819gbps_vs_fused_flops_197tf",
+            "config": {"task": "cls", "op": "pospool",
+                       "points": head["points"], "batch": head["batch"],
+                       "chips": len(jax.devices()), "precision": "bf16"},
+            "matrix_file": "BENCH_MATRIX.json",
+            "cells_completed": len(matrix),
+            "cells_total": len(order),
+        }
+
+    def write_matrix(headline, matrix, partial):
+        full = dict(headline)
+        full["matrix"] = matrix
+        full["partial"] = partial
+        with open(os.path.join(_REPO, "BENCH_MATRIX.json"), "w") as f:
+            json.dump(full, f, indent=1)
+        return full
+
+    matrix = {}
+    headline = None
+    cell_cost = 0.0  # slowest completed cell: the overrun estimator
+    for task, op_name in order:
+        is_headline = (task, op_name) == ("cls", "pospool")
+        elapsed = time.perf_counter() - t_run0
+        if (budget_s and not is_headline
+                and elapsed + cell_cost > budget_s):
+            print(json.dumps({"bench_budget_stop": True,
+                              "elapsed_s": round(elapsed, 1),
+                              "budget_s": budget_s,
+                              "next_cell": f"{task}/{op_name}",
+                              "cells_completed": len(matrix)}), flush=True)
+            break
+        n = steps if is_headline else max(steps // 2, 5)
+        t_cell0 = time.perf_counter()
+        cell = run_cell(task, op_name, n,
+                        measure_infer=is_headline or infer_all,
+                        flops_pins=flops_pins)
+        cell_cost = max(cell_cost, time.perf_counter() - t_cell0)
+        if (task, op_name) == ("seg", "pospool"):
+            seg_pin = pins.get("seg_pospool", {}).get("train_pps")
+            if seg_pin:
+                cell["vs_pin"] = round(cell["train_pps"] / seg_pin, 3)
+        matrix[f"{task}/{op_name}"] = cell
+        headline = mk_headline(matrix["cls/pospool"], matrix)
+        write_matrix(headline, matrix, partial=len(matrix) < len(order))
+        # stream each completed cell; print the compact headline the
+        # moment the headline cell lands so even an early kill captures
+        # a parseable artifact
+        print(json.dumps({f"{task}/{op_name}": cell}), flush=True)
+        if is_headline:
+            print(json.dumps(headline), flush=True)
+
+    full = write_matrix(headline, matrix,
+                        partial=len(matrix) < len(order))
     # full matrix first, compact headline LAST: the driver records the
     # tail of stdout, and the ~3KB matrix line used to truncate the
     # headline fields away (VERDICT r3 item 4 / missing #6)
-    print(json.dumps(full))
-    print(json.dumps(headline))
+    print(json.dumps(full), flush=True)
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -337,8 +337,17 @@ def _mm_fwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, flags_ref, max_ref,
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
-    max_ref[0] = hmax_ref[...].astype(max_ref.dtype)
-    min_ref[0] = hmin_ref[...].astype(min_ref.dtype)
+    # empty neighborhoods -> 0, NOT the ±_BIG scratch sentinel: a
+    # sentinel that escapes the kernel is one downstream multiply away
+    # from overflow, and on TPU `0 * inf = NaN` in a masked cotangent
+    # poisons entire backward dot_generals (found by the compiled-on-TPU
+    # parity suite, VERDICT r4 item 1a — interpret/CPU associated the
+    # same multiply differently and hid it)
+    cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0, keepdims=True)
+    max_ref[0] = jnp.where(cnt > 0, hmax_ref[...], 0.0).astype(
+        max_ref.dtype)
+    min_ref[0] = jnp.where(cnt > 0, hmin_ref[...], 0.0).astype(
+        min_ref.dtype)
 
 
 def _mm_bwd_kernel(g_ref, dT_ref, idxT_ref, maskT_ref, hmaxT_ref,
@@ -437,8 +446,11 @@ def _mm_vjp(g, d, idx, mask):
     """(hmax, hmin) of h[t,k] = g[idx[t,k]] - d[t] over valid slots.
 
     g [B,Ns,C]; d [B,Nq,C]; idx [B,Nq,K] int32; mask [B,Nq,K] bool.
-    Slots with no valid neighbor return ±3e38 — callers must mask empty
-    neighborhoods (any_valid) themselves.
+    Queries with no valid neighbor return 0 (same convention as
+    neighborhood_max / ops.grouping.masked_max): the ±_BIG scratch
+    sentinel must never escape the kernel — one downstream multiply
+    overflows it to ±inf and a masked (0-valued) cotangent then turns
+    into NaN on TPU, poisoning whole backward contractions.
     """
     return _mm_call(g, d, idx, mask)
 
@@ -844,7 +856,7 @@ _max_vjp.defvjp(_max_fwd, _max_bwd)
 # The query-side term of h[t,k] = g[idx[t,k]] - d[t] is constant over k,
 # so it commutes out of max/min: the kernel reduces pure g-space gathers
 # and the caller applies "- d" outside. That lets ONE kernel produce
-#   gmax/gmin = masked max/min_k g[idx]   (±3e38 when empty)
+#   gmax/gmin = masked max/min_k g[idx]   (0 when empty)
 #   s1 = Σ_k g[idx],  s2 = Σ_k g²[idx]    (masked-BN statistics)
 # from a single wide one-hot build + g load per chunk — the separate
 # neighborhood_sum + gather_sub_minmax pair built the one-hot twice and
@@ -951,8 +963,12 @@ def _pwstats_fwd_kernel(g_ref, gsq_ref, idxT_ref, maskT_ref, flags_ref,
         return 0
 
     jax.lax.fori_loop(0, flags_ref[0, trow, ns // cs], chunk_body, 0)
-    max_ref[0] = hmax_ref[...]
-    min_ref[0] = hmin_ref[...]
+    # empty neighborhoods -> 0 (same sentinel-escape rationale as
+    # _mm_fwd_kernel); the backward routes by the ±1-initialized slot
+    # ids, which never match, so it needs no change
+    cnt = jnp.sum(maskT_ref[0].astype(jnp.float32), axis=0, keepdims=True)
+    max_ref[0] = jnp.where(cnt > 0, hmax_ref[...], 0.0)
+    min_ref[0] = jnp.where(cnt > 0, hmin_ref[...], 0.0)
     s1_ref[0] = s1a_ref[...]
     s2_ref[0] = s2a_ref[...]
     amax_ref[0] = amaxa_ref[...]

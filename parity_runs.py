@@ -169,9 +169,6 @@ def main(argv=None):
     here = os.path.dirname(os.path.abspath(__file__))
     partial_path = os.path.join(here, "PARITY_RUNS.json")
 
-    def _protocol():
-        return {t: {**TASKS[t], "seeds": args.seeds} for t in args.tasks}
-
     results = {}
     capacity_results = {}
     budget_results = {}
@@ -188,11 +185,13 @@ def main(argv=None):
             # keep every task whose stored protocol matches the CURRENT
             # TASKS definition — even tasks outside --tasks — so a
             # probe-only invocation (--tasks with no values) does not
-            # drop the committed matrix cells when it writes partials
-            full_proto = {t: {**TASKS[t], "seeds": args.seeds}
-                          for t in TASKS}
+            # drop the committed matrix cells when it writes partials.
+            # Seeds are deliberately IGNORED in the match (ADVICE r4):
+            # cells are keyed by seed, so a --seeds subset run must not
+            # invalidate the committed multi-seed matrix.
             for t, proto in prev.get("protocol", {}).items():
-                if t in TASKS and proto == full_proto[t]:
+                stored = {k: v for k, v in proto.items() if k != "seeds"}
+                if t in TASKS and stored == TASKS[t]:
                     kept_tasks.add(t)
                     results.update(
                         {k: v for k, v in prev.get("results", {}).items()
@@ -210,9 +209,17 @@ def main(argv=None):
         except (ValueError, KeyError):
             pass
 
+    def _task_proto(t):
+        # record the seeds actually present (cached cells included), not
+        # just this invocation's --seeds (ADVICE r4)
+        seen = {int(k.split("/s")[-1]) for k in results
+                if k.startswith(t + "/")}
+        if t in args.tasks:
+            seen |= set(args.seeds)
+        return {**TASKS[t], "seeds": sorted(seen)}
+
     def _write_partial():
-        proto = {t: {**TASKS[t], "seeds": args.seeds}
-                 for t in kept_tasks | set(args.tasks)}
+        proto = {t: _task_proto(t) for t in kept_tasks | set(args.tasks)}
         with open(partial_path, "w") as f:
             json.dump({"results": results,
                        "capacity_results": capacity_results,
@@ -294,15 +301,19 @@ def main(argv=None):
         rerun_delta = round(abs(again[key] - results[first_cell][key]), 4)
 
     # per-operator mean +/- sigma over seeds; per-task clustering verdict
-    # (summarize kept-cache tasks too, so probe-only runs keep the matrix)
+    # (summarize kept-cache tasks too, so probe-only runs keep the matrix).
+    # Ops/seeds to summarize come from the cells PRESENT, not from this
+    # invocation's --ops/--seeds: a narrowed probe run must not rewrite
+    # the committed verdict from a subset (ADVICE r4)
     all_tasks = [t for t in TASKS if t in kept_tasks or t in args.tasks]
+    all_ops = OPS + [op for op in args.ops if op not in OPS]
     summary = {}
     for task in all_tasks:
         key = TASKS[task]["metric"]
         ops_stats = {}
-        for op in args.ops:
-            vals = [results[f"{task}/{op}/s{s}"][key] for s in args.seeds
-                    if f"{task}/{op}/s{s}" in results]
+        for op in all_ops:
+            vals = [v[key] for k, v in results.items()
+                    if k.rsplit("/s", 1)[0] == f"{task}/{op}"]
             if vals:
                 mean, std = _mean_std(vals)
                 ops_stats[op] = {"mean": mean, "std": std, "n": len(vals)}
@@ -323,7 +334,7 @@ def main(argv=None):
     if capacity_results:
         key = TASKS[CAPACITY["task"]]["metric"]
         vals = {op: capacity_results[f"{CAPACITY['task']}/{op}"][key]
-                for op in args.ops
+                for op in all_ops
                 if f"{CAPACITY['task']}/{op}" in capacity_results}
         if vals:
             cap_summary = {
@@ -377,8 +388,7 @@ def main(argv=None):
         "budget_summary": bud_summary,
         "noise_summary": noise_summary,
         "rerun_delta_cls_pospool": rerun_delta,
-        "protocol": {t: {**TASKS[t], "seeds": args.seeds}
-                     for t in all_tasks},
+        "protocol": {t: _task_proto(t) for t in all_tasks},
         "capacity_protocol": CAPACITY,
         "budget_protocol": BUDGET,
         "noise_protocol": NOISE,
@@ -386,12 +396,14 @@ def main(argv=None):
     with open(partial_path, "w") as f:
         json.dump(out, f, indent=1)
 
+    md_ops = [op for op in all_ops
+              if any(op in summary[t]["ops"] for t in summary)] or all_ops
     lines = [
         "# PARITY_RUNS — data-free accuracy-parity proxy",
         "",
         "Pinned-seed training of all five operator variants on the three",
-        "synthetic tasks, across seeds "
-        f"{args.seeds} (`parity_runs.py`; protocol in PARITY_RUNS.json).",
+        "synthetic tasks, across the seed sets "
+        "recorded per task in PARITY_RUNS.json (`parity_runs.py`).",
         "The paper's central claim (SURVEY.md §6) is that the operators",
         "cluster within ~0.5 points on every benchmark. The test here:",
         "the cross-operator spread of per-op MEANS must be comparable to",
@@ -400,16 +412,16 @@ def main(argv=None):
         f"{TASKS['cls']['noise']} de-saturates the task), partseg/scene",
         f"= val mIoU. Platform: {out['platform']}.",
         "",
-        "| task | " + " | ".join(args.ops)
+        "| task | " + " | ".join(md_ops)
         + " | spread | sigma_seed | spread/sigma | clustered |",
-        "|---|" + "---|" * (len(args.ops) + 4),
+        "|---|" + "---|" * (len(md_ops) + 4),
     ]
     for task in all_tasks:
         if task not in summary:
             continue
         s = summary[task]
         row = [(f"{s['ops'][op]['mean']:.3f}±{s['ops'][op]['std']:.3f}"
-                if op in s["ops"] else "-") for op in args.ops]
+                if op in s["ops"] else "-") for op in md_ops]
         lines.append(
             f"| {task} ({s['metric']}) | " + " | ".join(row)
             + f" | {s['spread_of_means']} | {s['mean_seed_sigma']} "
@@ -422,11 +434,11 @@ def main(argv=None):
             f"{CAPACITY['depth']}) — {cap_summary['task']}, seed "
             f"{CAPACITY['seed']}",
             "",
-            "| " + " | ".join(args.ops) + " | spread |",
-            "|" + "---|" * (len(args.ops) + 1),
+            "| " + " | ".join(md_ops) + " | spread |",
+            "|" + "---|" * (len(md_ops) + 1),
             "| " + " | ".join(
                 f"{cap_summary['values'].get(op, float('nan')):.4f}"
-                for op in args.ops)
+                for op in md_ops)
             + f" | {cap_summary['spread']} |",
         ]
     if bud_summary:

@@ -44,6 +44,20 @@ import jax  # noqa: E402
 if not TPU_TESTS:
     jax.config.update("jax_platforms", "cpu")
 
+if TPU_TESTS:
+    # Tolerance calibration for the compiled-on-device mode (VERDICT r4
+    # item 1b): the parity tests compare Pallas kernels against jnp
+    # reference paths at f32, but a TPU f32 jnp matmul runs ONE-PASS
+    # bf16 under DEFAULT precision — the *reference* then carries ~1e-2
+    # relative rounding (worse under cancellation) and the comparison
+    # measures reference sloppiness, not kernel logic. Forcing HIGHEST
+    # makes every f32 jnp matmul f32-accurate (the f32 kernel paths
+    # already pass Precision.HIGHEST explicitly), so the CPU-calibrated
+    # tolerances transfer and any remaining divergence is a real logic/
+    # layout/predication bug. The production bf16 path keeps DEFAULT
+    # via cfg.precision="bf16" (bench + training), unaffected by tests.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -73,6 +87,10 @@ def pallas_test_mode(monkeypatch, ops_impl=None):
     """
     if not TPU_TESTS:
         monkeypatch.setenv("CL3D_PALLAS_INTERPRET", "1")
+    else:
+        # an ambient interpret flag would silently run the "compiled"
+        # parity suite in interpret mode (ADVICE r4)
+        monkeypatch.delenv("CL3D_PALLAS_INTERPRET", raising=False)
     if ops_impl is not None:
         monkeypatch.setenv("CL3D_OPS_IMPL", ops_impl)
 

@@ -58,31 +58,36 @@ def test_gather_sub_minmax_fwd_bwd(data):
             g, idx.reshape(B, -1)[..., None], axis=1).reshape(B, N, K, COUT)
         h = gf - d[:, :, None, :]
         big = jnp.float32(3e38)
+        v = jnp.any(nmask, -1, keepdims=True)
         hmax = jnp.max(jnp.where(nmask[..., None], h, -big), axis=2)
         hmin = jnp.min(jnp.where(nmask[..., None], h, big), axis=2)
-        return hmax, hmin
+        # empty-neighborhood convention: 0, never the sentinel
+        return jnp.where(v, hmax, 0.0), jnp.where(v, hmin, 0.0)
 
     rmax, rmin = ref_fn(g, d)
     gmax, gmin = gather_sub_minmax(g, d, idx, nmask)
-    valid = np.asarray(jnp.any(nmask, -1))
-    np.testing.assert_allclose(np.asarray(gmax)[valid],
-                               np.asarray(rmax)[valid], rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gmin)[valid],
-                               np.asarray(rmin)[valid], rtol=1e-5)
+    # full-array compare: empty queries must be EXACTLY 0 (a ±3e38
+    # sentinel that escapes overflows downstream — VERDICT r4 item 1a)
+    np.testing.assert_allclose(np.asarray(gmax), np.asarray(rmax),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gmin), np.asarray(rmin),
+                               rtol=1e-5)
 
+    # deliberately UNMASKED loss: with the old sentinel convention this
+    # produced 0*inf = NaN cotangents on TPU (compiled), poisoning the
+    # backward dot_generals — the regression this pins
     def loss_ref(g, d):
         hmax, hmin = ref_fn(g, d)
-        v = jnp.any(nmask, -1, keepdims=True)
-        return jnp.sum(jnp.where(v, hmax**2 + 0.5 * hmin, 0.0))
+        return jnp.sum(hmax**2 + 0.5 * hmin)
 
     def loss_fused(g, d):
         hmax, hmin = gather_sub_minmax(g, d, idx, nmask)
-        v = jnp.any(nmask, -1, keepdims=True)
-        return jnp.sum(jnp.where(v, hmax**2 + 0.5 * hmin, 0.0))
+        return jnp.sum(hmax**2 + 0.5 * hmin)
 
     gr = jax.grad(loss_ref, argnums=(0, 1))(g, d)
     gf = jax.grad(loss_fused, argnums=(0, 1))(g, d)
     for a, b_ in zip(gr, gf):
+        assert np.all(np.isfinite(np.asarray(b_)))
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
 
@@ -98,38 +103,38 @@ def test_pwmlp_minmax_stats_fwd_bwd(data):
             g, idx.reshape(B, -1)[..., None], axis=1).reshape(B, N, K, COUT)
         big = jnp.float32(3e38)
         mk = nmask[..., None]
-        gmax = jnp.max(jnp.where(mk, gf, -big), axis=2)
-        gmin = jnp.min(jnp.where(mk, gf, big), axis=2)
+        v = jnp.any(nmask, -1, keepdims=True)
+        gmax = jnp.where(v, jnp.max(jnp.where(mk, gf, -big), axis=2), 0.0)
+        gmin = jnp.where(v, jnp.min(jnp.where(mk, gf, big), axis=2), 0.0)
         s1 = jnp.sum(jnp.where(mk, gf, 0.0), axis=2)
         s2 = jnp.sum(jnp.where(mk, gf**2, 0.0), axis=2)
         return gmax, gmin, s1, s2
 
     refs = ref(g)
     got = pwmlp_minmax_stats(g, g * g, idx, nmask)
-    valid = np.asarray(jnp.any(nmask, -1))
     for r, o, name in zip(refs, got, ("gmax", "gmin", "s1", "s2")):
         r, o = np.asarray(r), np.asarray(o)
         if name in ("gmax", "gmin"):
-            np.testing.assert_allclose(o[valid], r[valid], rtol=1e-5,
-                                       err_msg=name)
+            np.testing.assert_allclose(o, r, rtol=1e-5, err_msg=name)
         else:
             np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-5,
                                        err_msg=name)
 
-    v = jnp.any(nmask, -1, keepdims=True)
-
+    # unmasked loss: pins the empty->0 convention end to end (the old
+    # ±3e38 convention NaN'd the compiled VJP through 0*inf cotangents)
     def loss_ref(g):
         gmax, gmin, s1, s2 = ref(g)
-        return jnp.sum(jnp.where(v, gmax**2 + 0.5 * gmin, 0.0)) \
+        return jnp.sum(gmax**2 + 0.5 * gmin) \
             + jnp.sum(s1 * 0.25 + s2 * 0.125)
 
     def loss_fused(g):
         gmax, gmin, s1, s2 = pwmlp_minmax_stats(g, g * g, idx, nmask)
-        return jnp.sum(jnp.where(v, gmax**2 + 0.5 * gmin, 0.0)) \
+        return jnp.sum(gmax**2 + 0.5 * gmin) \
             + jnp.sum(s1 * 0.25 + s2 * 0.125)
 
     gr = jax.grad(loss_ref)(g)
     gf = jax.grad(loss_fused)(g)
+    assert np.all(np.isfinite(np.asarray(gf)))
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=1e-4, atol=1e-5)
 
@@ -190,6 +195,51 @@ def test_fused_pwmlp_gradients_match(data):
                      jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_minmax_all_masked_unaligned(dtype):
+    """Empty neighborhoods + unaligned shapes at production dtypes
+    (VERDICT r4 item 1a): outputs must be exactly 0 at empty queries and
+    gradients finite under an UNMASKED consumer — the sentinel-escape
+    regression, at bf16 as well as f32."""
+    dt = jnp.dtype(dtype)
+    rng = np.random.default_rng(3)
+    b, nq, ns, c, k = 2, 100, 70, 16, 6  # nq deliberately not 8/128-mult
+    g = jnp.asarray(rng.normal(size=(b, ns, c)), dt)
+    d = jnp.asarray(rng.normal(size=(b, nq, c)), dt)
+    idx = jnp.asarray(rng.integers(0, ns, (b, nq, k)), jnp.int32)
+    cnt = rng.integers(0, k + 1, (b, nq))
+    cnt[0, :17] = 0   # a run of fully-masked queries
+    cnt[1, -9:] = 0   # incl. at the padded tail
+    mask = jnp.asarray(np.arange(k)[None, None] < cnt[..., None])
+
+    hmax, hmin = gather_sub_minmax(g, d, idx, mask)
+    empty = ~np.asarray(mask).any(-1)
+    assert np.all(np.asarray(hmax)[empty] == 0.0)
+    assert np.all(np.asarray(hmin)[empty] == 0.0)
+
+    def loss(g, d):
+        hmax, hmin = gather_sub_minmax(g, d, idx, mask)
+        return jnp.sum(hmax.astype(jnp.float32) ** 2
+                       + 0.5 * hmin.astype(jnp.float32))
+
+    dg, dd = jax.grad(loss, argnums=(0, 1))(g, d)
+    assert np.all(np.isfinite(np.asarray(dg, np.float32)))
+    assert np.all(np.isfinite(np.asarray(dd, np.float32)))
+
+    gmax, gmin, s1, s2 = pwmlp_minmax_stats(g, g * g, idx, mask)
+    for o in (gmax, gmin, s1, s2):
+        o = np.asarray(o)
+        assert np.all(np.isfinite(o))
+        assert np.all(o[empty] == 0.0)
+
+    def loss2(g):
+        gmax, gmin, s1, s2 = pwmlp_minmax_stats(g, g * g, idx, mask)
+        return jnp.sum(gmax**2 + 0.5 * gmin + 0.25 * s1 + 0.125 * s2)
+
+    dg2 = jax.grad(loss2)(g)
+    assert np.all(np.isfinite(np.asarray(dg2, np.float32)))
 
 
 @pytest.mark.parametrize("occ", [1, 13, 26])
