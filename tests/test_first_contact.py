@@ -81,3 +81,48 @@ def test_pin_baseline_empty_reference(tmp_path):
     bl.write_text(json.dumps({"published": {}}))
     assert fc.pin_baseline(str(ref), str(bl)) == 0
     assert json.loads(bl.read_text()) == {"published": {}}
+
+
+def test_pin_baseline_row_oriented_zoo(tmp_path):
+    """The actual CloserLook3D README lays the zoo out with operators
+    as ROWS under per-dataset headings (VERDICT r4 item 8: the old
+    5-column regexes were brittle); pin_baseline must handle both
+    orientations."""
+    import first_contact as fc
+
+    ref = tmp_path / "reference"
+    ref.mkdir()
+    (ref / "README.md").write_text(
+        "# CloserLook3D\n\n"
+        "## ModelNet40\n\n"
+        "| Method | OA | model |\n"
+        "|---|---|---|\n"
+        "| Point-wise MLP | 92.8 | [ckpt](a) |\n"
+        "| Pseudo Grid | 93.0 | [ckpt](b) |\n"
+        "| Adapt Weights | 93.0 | [ckpt](c) |\n"
+        "| PosPool | 92.9 | [ckpt](d) |\n"
+        "| PosPool* | 93.2 | [ckpt](e) |\n\n"
+        "## S3DIS Area-5\n\n"
+        "| Method | mIoU |\n"
+        "|---|---|\n"
+        "| PosPool | 66.5 |\n"
+        "| PosPool* | 66.7 |\n\n"
+        "## ShapeNetPart\n\n"
+        "instance mIoU (ins. mIoU):\n\n"
+        "| Method | ins. mIoU | cls. mIoU |\n"
+        "|---|---|---|\n"
+        "| PosPool | 85.9 | 84.5 |\n")
+    bl = tmp_path / "BASELINE.json"
+    bl.write_text(json.dumps({"published": {}}))
+    n = fc.pin_baseline(str(ref), str(bl))
+    d = json.loads(bl.read_text())
+    assert n == 3, d
+    mn = d["published"]["modelnet40_oa"]["values"]
+    assert mn == {"pointwisemlp": 92.8, "pseudo_grid": 93.0,
+                  "adaptive_weight": 93.0, "pospool": 92.9,
+                  "pospool_sincos": 93.2}
+    assert d["published"]["s3dis_area5_miou"]["values"][
+        "pospool_sincos"] == 66.7
+    # first numeric column (ins. mIoU) wins for the ShapeNetPart row
+    assert d["published"]["shapenetpart_ins_miou"]["values"][
+        "pospool"] == 85.9

@@ -84,3 +84,67 @@ def test_readme_bench_section_in_sync():
     expected = render().split(BEGIN, 1)[1].split(END, 1)[0]
     assert current == expected, (
         "README bench section out of sync — run tools/gen_readme_bench.py")
+
+
+def test_bench_matrix_budget_and_streaming(tmp_path, monkeypatch, capsys):
+    """Driver-window machinery (VERDICT r4 item 2): priority order,
+    per-cell streaming, incremental BENCH_MATRIX.json writes, budget
+    stop with cells_completed, headline printed first AND last."""
+    import time as _time
+
+    import bench
+
+    calls = []
+
+    def fake_run_cell(task, op, steps, measure_infer, num_points=None,
+                      batch=None, flops_pins=None):
+        calls.append((task, op))
+        _time.sleep(0.01)
+        return {"train_pps": 1000.0, "train_step_ms": 10.0,
+                "points": 1024, "batch": 32}
+
+    monkeypatch.setattr(bench, "run_cell", fake_run_cell)
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    monkeypatch.setenv("BENCH_MATRIX", "1")
+    for var in ("BENCH_TASK", "BENCH_OP", "BENCH_POINTS", "BENCH_BATCH"):
+        monkeypatch.delenv(var, raising=False)
+
+    # run 1: generous budget -> all 15 cells, partial=False
+    monkeypatch.setenv("BENCH_BUDGET_S", "100")
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert calls[:3] == [("cls", "pospool"), ("seg", "pospool"),
+                         ("partseg", "pospool")]
+    assert len(calls) == 15
+    mat = json.loads(open(tmp_path / "BENCH_MATRIX.json").read())
+    assert mat["partial"] is False and len(mat["matrix"]) == 15
+    head = json.loads(out[-1])
+    assert head["metric"] == "points_per_sec_per_chip_train"
+    assert head["cells_completed"] == 15
+    # the headline also printed right after the first cell: line 2
+    early = json.loads(out[1])
+    assert early["metric"] == "points_per_sec_per_chip_train"
+
+    # run 2: budget forces a stop after the headline cell (the next
+    # cell's estimated cost exceeds the remaining budget)
+    calls.clear()
+    monkeypatch.setenv("BENCH_BUDGET_S", "0.001")
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert calls == [("cls", "pospool")]  # headline always runs
+    stop = next(json.loads(ln) for ln in out
+                if "bench_budget_stop" in ln)
+    assert stop["cells_completed"] == 1
+    mat = json.loads(open(tmp_path / "BENCH_MATRIX.json").read())
+    assert mat["partial"] is True and len(mat["matrix"]) == 1
+    head = json.loads(out[-1])
+    assert head["cells_completed"] == 1 and head["cells_total"] == 15
+
+
+def test_bench_fetch_loss_nan_guard():
+    import bench
+
+    assert bench._fetch_loss({"loss": 1.5}, "x") == 1.5
+    import pytest as _pytest
+    with _pytest.raises(FloatingPointError, match="seg/pospool train"):
+        bench._fetch_loss({"loss": float("nan")}, "seg/pospool train")

@@ -103,15 +103,16 @@ def test_minmax_multichunk(data):
     d = jnp.asarray(np.random.default_rng(3).normal(size=(B, NQ, C)),
                     jnp.float32)
 
-    def ref_pair(f):
+    def ref_pair(f, d):
         h = gather(f, idx) - d[:, :, None, :]
         big = jnp.float32(3e38)
-        hmax = jnp.where(mask[..., None], h, -big).max(2)
-        hmin = jnp.where(mask[..., None], h, big).min(2)
+        v = jnp.any(mask, -1, keepdims=True)
+        hmax = jnp.where(v, jnp.where(mask[..., None], h, -big).max(2), 0.)
+        hmin = jnp.where(v, jnp.where(mask[..., None], h, big).min(2), 0.)
         return hmax, hmin
 
     hmax, hmin = gather_sub_minmax(f, d, idx, mask)
-    rmax, rmin = ref_pair(f)
+    rmax, rmin = ref_pair(f, d)
     np.testing.assert_allclose(np.asarray(hmax), np.asarray(rmax),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(hmin), np.asarray(rmin),
@@ -122,10 +123,7 @@ def test_minmax_multichunk(data):
             gather_sub_minmax(f, d, idx, mask)) ** 2), argnums=(0, 1))(f, d)
 
     def ref_loss(f, d):
-        h = gather(f, idx) - d[:, :, None, :]
-        big = jnp.float32(3e38)
-        hmax = jnp.where(mask[..., None], h, -big).max(2)
-        hmin = jnp.where(mask[..., None], h, big).min(2)
+        hmax, hmin = ref_pair(f, d)
         return jnp.sum(hmax**2) + jnp.sum(hmin**2)
 
     rf, rd = jax.grad(ref_loss, argnums=(0, 1))(f, d)

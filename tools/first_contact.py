@@ -42,17 +42,89 @@ DATASETS = {
     "s3dis": ("configs/s3dis/pospool_xyz_avg.yaml", []),
 }
 
-# model-zoo table rows we can pin from the reference README: metric key
-# in BASELINE.json.published -> regex capturing the five operator
-# columns (PointWiseMLP, PseudoGrid, AdaptWeight, PosPool, PosPool*)
-_ZOO_PATTERNS = {
-    "modelnet40_oa": r"ModelNet40[^|\n]*\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|",
-    "s3dis_area5_miou": r"S3DIS[^|\n]*\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|",
-    "shapenetpart_ins_miou": r"ShapeNetPart[^|\n]*ins[^|\n]*\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|",
-    "partnet_miou": r"PartNet[^|\n]*\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|([^|\n]+)\|",
-}
-_OPS = ["pointwisemlp", "pseudo_grid", "adaptive_weight", "pospool",
-        "pospool_sincos"]
+# Zoo-table pinning (orientation-robust, VERDICT r4 item 8): the
+# reference README may lay tables out either with operators as COLUMNS
+# (one row per dataset) or — as the actual CloserLook3D README does —
+# with operators as ROWS under per-dataset headings. pin_baseline
+# parses markdown tables generically and matches operator names by
+# alias in whichever orientation they appear; the metric key comes from
+# the nearest heading/context above the table (or the row label).
+# Order matters: 'pospool*'/sin-cos aliases must be tested before the
+# plain 'pospool' substring.
+_OP_ALIASES = [
+    ("pospool_sincos", ("pospool*", "pospool (sin/cos)", "pospool-sincos",
+                        "pospool_sincos", "sinpospool", "sin/cos")),
+    ("pospool", ("pospool", "pos pool", "pos-pool")),
+    ("pointwisemlp", ("point-wise mlp", "pointwise mlp", "pointwisemlp",
+                      "point-wise-mlp", "pointwise-mlp", "pw-mlp")),
+    ("pseudo_grid", ("pseudo grid", "pseudo-grid", "pseudogrid",
+                     "pseudo_grid")),
+    ("adaptive_weight", ("adapt weights", "adaptive weight",
+                         "adapt-weights", "adaptive_weight",
+                         "adaptweight", "adapt weight")),
+]
+
+_METRIC_KEYS = [
+    # (key, all-of substrings to find in context/heading/row label)
+    ("shapenetpart_ins_miou", ("shapenetpart",)),
+    ("partnet_miou", ("partnet",)),
+    ("modelnet40_oa", ("modelnet40",)),
+    ("s3dis_area5_miou", ("s3dis",)),
+]
+
+
+def _op_of(cell: str):
+    low = cell.lower()
+    for op, aliases in _OP_ALIASES:
+        if any(a in low for a in aliases):
+            return op
+    return None
+
+
+def _metric_of(text: str):
+    low = text.lower().replace(" ", "").replace("-", "")
+    for key, needles in _METRIC_KEYS:
+        if all(n in low for n in needles):
+            # ShapeNetPart rows explicitly labeled class-mIoU are a
+            # DIFFERENT metric than the instance-mIoU zoo headline;
+            # don't mispin them
+            if key == "shapenetpart_ins_miou" and (
+                    "cls" in low or "cat" in low or "classm" in low):
+                return None
+            return key
+    return None
+
+
+def _first_float(cell: str):
+    m = re.search(r"\d+\.\d+", cell)
+    return float(m.group(0)) if m else None
+
+
+def _md_tables(text: str):
+    """Yield (context, rows) per markdown table: rows are stripped cell
+    lists; context is the nearest preceding heading + preceding prose
+    line (where the dataset name usually lives)."""
+    lines = text.splitlines()
+    context, prose = "", ""
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if ln.lstrip().startswith("#"):
+            context = ln
+        elif "|" in ln and ln.strip().startswith("|"):
+            rows = []
+            while i < len(lines) and "|" in lines[i] \
+                    and lines[i].strip().startswith("|"):
+                cells = [c.strip() for c in
+                         lines[i].strip().strip("|").split("|")]
+                if not all(set(c) <= set(":- ") for c in cells):
+                    rows.append(cells)
+                i += 1
+            yield context + "\n" + prose, rows
+            continue
+        elif ln.strip():
+            prose = ln
+        i += 1
 
 
 def check_all(data_root: str):
@@ -87,16 +159,42 @@ def pin_baseline(reference_dir: str, baseline_path: str) -> int:
             text = open(doc, errors="replace").read()
         except OSError:
             continue
-        for key, pat in _ZOO_PATTERNS.items():
-            m = re.search(pat, text, re.IGNORECASE)
-            if not m:
+        for context, rows in _md_tables(text):
+            if len(rows) < 2:
                 continue
-            vals = {}
-            for op, cell in zip(_OPS, m.groups()):
-                num = re.search(r"\d+\.\d+", cell)
-                if num:
-                    vals[op] = float(num.group(0))
-            if vals:
+            header = rows[0]
+            table_metric = _metric_of(context) or _metric_of(header[0])
+            found: dict[str, dict] = {}  # metric key -> {op: value}
+            op_cols = {ci: op for ci, op in
+                       ((ci, _op_of(c)) for ci, c in enumerate(header))
+                       if op}
+            if op_cols:
+                # operators as COLUMNS: one row per dataset/metric
+                for row in rows[1:]:
+                    key = _metric_of(row[0]) or table_metric
+                    if not key:
+                        continue
+                    vals = {}
+                    for ci, op in op_cols.items():
+                        if ci < len(row):
+                            v = _first_float(row[ci])
+                            if v is not None:
+                                vals[op] = v
+                    if vals:
+                        found.setdefault(key, {}).update(vals)
+            else:
+                # operators as ROWS (the reference README's layout):
+                # first numeric cell in each operator row is the metric
+                for row in rows[1:]:
+                    op = _op_of(row[0])
+                    if not op or not table_metric:
+                        continue
+                    for cell in row[1:]:
+                        v = _first_float(cell)
+                        if v is not None:
+                            found.setdefault(table_metric, {})[op] = v
+                            break
+            for key, vals in found.items():
                 baseline.setdefault("published", {})[key] = {
                     "values": vals,
                     "source": os.path.relpath(doc, reference_dir),

@@ -52,11 +52,32 @@ def _shape_bytes(spec: str) -> int:
     return total
 
 
-def custom_call_bytes(hlo_text: str) -> int:
-    """Sum of operand + result bytes over every custom-call in the
-    optimized HLO module text (``compiled.as_text()``)."""
+_OPNAME_RE = re.compile(r'op_name="([^"]+)"')
+_KNAME_RE = re.compile(r"(_\w+_kernel|_bq_\w+|_knn1?\w*|_fps\w*)")
+
+
+def _call_label(line: str) -> str:
+    """Best-effort kernel label for one custom-call line: the Pallas
+    kernel function name embedded in the op_name metadata when present,
+    else the tail of the op_name scope, else 'custom-call'."""
+    m = _OPNAME_RE.search(line)
+    if not m:
+        return "custom-call"
+    op_name = m.group(1)
+    k = _KNAME_RE.search(op_name)
+    if k:
+        return k.group(1)
+    return op_name.rsplit("/", 1)[-1][:60]
+
+
+def custom_call_list(hlo_text: str) -> list[dict]:
+    """Per-custom-call byte accounting from the optimized HLO text:
+    [{"name", "label", "bytes"}] with bytes = operands + result (what
+    the Pallas kernel streams through HBM). The per-kernel view VERDICT
+    r4 item 4 asks for — diff it against the phase attribution to find
+    which kernel streams the most excess bytes."""
     shapes: dict[str, int] = {}
-    calls: list[tuple[str, list[str]]] = []
+    calls: list[tuple[str, list[str], str]] = []
     for line in hlo_text.splitlines():
         m = _DEF_RE.match(line)
         if not m:
@@ -76,13 +97,30 @@ def custom_call_bytes(hlo_text: str) -> int:
                         end = i
                         break
             operands = _OPERAND_RE.findall(body[:end])
-            calls.append((name, operands))
-    total = 0
-    for name, operands in calls:
-        total += shapes.get(name, 0)
+            calls.append((name, operands, _call_label(line)))
+    out = []
+    for name, operands, label in calls:
+        by = shapes.get(name, 0)
         for op in operands:
-            total += shapes.get(op, 0)
-    return total
+            by += shapes.get(op, 0)
+        out.append({"name": name, "label": label, "bytes": by})
+    return out
+
+
+def custom_call_bytes(hlo_text: str) -> int:
+    """Sum of operand + result bytes over every custom-call in the
+    optimized HLO module text (``compiled.as_text()``)."""
+    return sum(c["bytes"] for c in custom_call_list(hlo_text))
+
+
+def grouped_call_bytes(hlo_text: str) -> dict[str, dict]:
+    """label -> {"bytes": total, "count": n} over all custom-calls."""
+    groups: dict[str, dict] = {}
+    for c in custom_call_list(hlo_text):
+        g = groups.setdefault(c["label"], {"bytes": 0, "count": 0})
+        g["bytes"] += c["bytes"]
+        g["count"] += 1
+    return groups
 
 
 def executable_bytes(compiled) -> dict:
@@ -98,3 +136,39 @@ def executable_bytes(compiled) -> dict:
     xla = float((ca or {}).get("bytes accessed") or 0.0)
     cc = float(custom_call_bytes(compiled.as_text()))
     return {"xla": xla, "custom_call": cc, "total": xla + cc}
+
+
+def main():
+    """Per-kernel HBM byte table of one bench cell's TRAIN executable.
+
+    Usage: python tools/hlo_bytes.py [task] [op]   (default seg pospool)
+    """
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    import bench
+
+    task = sys.argv[1] if len(sys.argv) > 1 else "seg"
+    op = sys.argv[2] if len(sys.argv) > 2 else "pospool"
+    cfg = bench._cell_cfg(task, op)
+    s = bench.cell_setup(cfg)
+    key = jax.random.PRNGKey(1)
+    comp = s["train_step"].lower(s["state"], s["dbatch"], key).compile()
+    text = comp.as_text()
+    by = executable_bytes(comp)
+    print(f"{task}/{op} train: xla {by['xla'] / 1e9:.2f} GB + "
+          f"custom-call {by['custom_call'] / 1e9:.2f} GB = "
+          f"{by['total'] / 1e9:.2f} GB/step")
+    groups = sorted(grouped_call_bytes(text).items(),
+                    key=lambda kv: -kv[1]["bytes"])
+    print(f"{'label':<44} {'calls':>5} {'GB':>8}")
+    for label, g in groups:
+        print(f"{label:<44} {g['count']:>5} {g['bytes'] / 1e9:>8.3f}")
+
+
+if __name__ == "__main__":
+    main()

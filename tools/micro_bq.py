@@ -23,7 +23,16 @@ def run_all():
     """Time every ball query the seg (S3DIS-shape) step issues — the
     9 (nq, ns, radius, K) tuples of the 5-stage plan — with the SAME
     dispatch the model uses (ops.neighbors.ball_query). One invocation
-    gives the full per-stage attribution of the ~13 ms bq phase."""
+    gives the full per-stage attribution of the ~13 ms bq phase.
+
+    Approximation (ADVICE r4): strided stages are modeled as
+    Morton-sort prefixes (``full[:, :ns]``) — spatially localized
+    corners at full density — rather than the FPS/grid-subsampled
+    stages the model computes, so per-stage neighbor densities can
+    diverge from production. Compare the printed ``mean nbrs`` against
+    the production values before trusting a per-stage split; the TOTAL
+    tracks the profile's bq phase because the (nq, ns, radius, K)
+    tuples and dispatch are exact."""
     from closerlook3d_tpu.data.spatial_host import morton_sort_batch
     from closerlook3d_tpu.ops.neighbors import ball_query
 

@@ -31,24 +31,8 @@ def main():
     cfg = bench._cell_cfg("seg", "pseudo_grid")
     plan = stage_plan(cfg)
     width = cfg.width
-    cache = f"/tmp/micro_pg_geom_{stage}.npz"
-    if os.path.exists(cache):
-        z = np.load(cache)
-        qxyz, sxyz = jnp.asarray(z["qxyz"]), jnp.asarray(z["sxyz"])
-        idx, mask = jnp.asarray(z["idx"]), jnp.asarray(z["mask"])
-    else:
-        rng = np.random.default_rng(0)
-        hb = bench._make_host_batch(cfg, rng)
-        xyz, pmask = jnp.asarray(hb["xyz"]), jnp.asarray(hb["mask"])
-        g = jax.jit(lambda x, m: compute_geometry(cfg, x, m))(xyz, pmask)
-        if stage == 0:
-            qxyz = sxyz = g["xyz_0"]
-            idx, mask = g["idx_0"], g["nmask_0"]
-        else:
-            qxyz, sxyz = g[f"xyz_{stage}"], g[f"xyz_{stage-1}"]
-            idx, mask = g[f"sidx_{stage}"], g[f"smask_{stage}"]
-        np.savez(cache, qxyz=np.asarray(qxyz), sxyz=np.asarray(sxyz),
-                 idx=np.asarray(idx), mask=np.asarray(mask))
+    from tools.pg_geom import load_stage_geom
+    qxyz, sxyz, idx, mask = load_stage_geom(stage)
     if stage == 0:
         c, radius = width // 2, plan["radii"][0]
     else:

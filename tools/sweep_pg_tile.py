@@ -23,9 +23,8 @@ def main():
     from closerlook3d_tpu.models.aggregation import kernel_point_layout
     from closerlook3d_tpu.ops.pallas.pseudo_grid import pseudo_grid_fused
 
-    z = np.load("/tmp/micro_pg_geom_0.npz")
-    qxyz, sxyz = jnp.asarray(z["qxyz"]), jnp.asarray(z["sxyz"])
-    idx, mask = jnp.asarray(z["idx"]), jnp.asarray(z["mask"])
+    from tools.pg_geom import load_stage_geom
+    qxyz, sxyz, idx, mask = load_stage_geom(0)
     b, nq, k = idx.shape
     ns = sxyz.shape[1]
     c, radius, extent = 72, 0.1, 0.12
