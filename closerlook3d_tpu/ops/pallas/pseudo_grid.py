@@ -324,7 +324,12 @@ def _call(query_xyz, support_xyz, features, idx, mask, kp, radius,
     support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     kpn = kp.shape[0]
-    tile = _tile_chunked(nq)
+    # this kernel's slot-group layout ([K,T]->[1,K*T] reshapes in
+    # _wide_onehot/_group_onehot/_mask_row) needs a lane-aligned
+    # tile; tiny deep stages (folded nq < 128) must pad up to 128
+    # or Mosaic rejects the shape cast (found by the round-5
+    # parity probe at partseg stage 4: nq=2 x b=16 -> t=32)
+    tile = max(128, _tile_chunked(nq))
     qp, nq0 = _pad_queries(query_xyz.astype(jnp.float32), tile)
     qT = jnp.swapaxes(qp, 1, 2)  # [B, 3, Nqp]
     iT, mT, _, nqp = _prep_iq(idx, mask, tile)  # slot-padded to _KG
@@ -371,7 +376,7 @@ def _bwd(radius, extent, mode, res, dy):
     support_xyz, features, _ = _pad_support(support_xyz, features)
     ns, c = features.shape[1], features.shape[2]
     kpn = kp.shape[0]
-    tile = _tile_chunked(query_xyz.shape[1])
+    tile = max(128, _tile_chunked(query_xyz.shape[1]))  # see _call
     qp, _ = _pad_queries(query_xyz.astype(jnp.float32), tile)
     qT = jnp.swapaxes(qp, 1, 2)
     iT, mT, _, nqp = _prep_iq(idx, mask, tile)

@@ -199,3 +199,45 @@ def test_neighborhood_max_matches_jnp():
         neighborhood_max(f, idx, mask), dy))(feats)
     np.testing.assert_allclose(np.asarray(gref), np.asarray(gout),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pseudo_grid_tiny_folded_stage():
+    """Deep-stage shape (nq=2 x b=16 folds to 32 queries): the slot-
+    group reshapes need a lane-aligned tile, so the wrapper must pad
+    tiny tiles up to 128 — Mosaic rejects the [K,T]->[1,K*T] shape
+    cast at t=32 (round-5 parity probe, partseg stage 4). Compiled in
+    TPU mode, interpret on CPU."""
+    from closerlook3d_tpu.models.aggregation import kernel_point_layout
+    from closerlook3d_tpu.ops.pallas.pseudo_grid import pseudo_grid_fused
+
+    rng = np.random.default_rng(2)
+    b, nq, ns, c, k = 16, 2, 8, 8, 16
+    q = jnp.asarray(rng.uniform(-1, 1, (b, nq, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(-1, 1, (b, ns, 3)), jnp.float32)
+    f = jnp.asarray(rng.normal(size=(b, ns, c)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, ns, (b, nq, k)), jnp.int32)
+    mask = jnp.asarray(rng.random((b, nq, k)) < 0.7)
+    kp = jnp.asarray(kernel_point_layout(5), jnp.float32)
+
+    out = pseudo_grid_fused(q, s, f, idx, mask, kp, 0.5, 0.6, "linear")
+    assert out.shape == (b, nq, 5 * c)
+
+    def ref(f):
+        fj = jnp.take_along_axis(
+            f, idx.reshape(b, -1)[..., None], axis=1).reshape(b, nq, k, c)
+        pj = jnp.take_along_axis(
+            s, idx.reshape(b, -1)[..., None], axis=1).reshape(b, nq, k, 3)
+        u = (pj - q[:, :, None, :]) / 0.5
+        d = jnp.linalg.norm(u[:, :, :, None, :] - kp[None, None, None],
+                            axis=-1)
+        w = jnp.maximum(1.0 - d / 0.6, 0.0) * mask[..., None]
+        h = jnp.einsum("bnkp,bnkc->bnpc", w, fj)
+        return h.reshape(b, nq, -1)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(f)),
+                               rtol=2e-4, atol=2e-5)
+
+    g = jax.grad(lambda f: jnp.sum(
+        pseudo_grid_fused(q, s, f, idx, mask, kp, 0.5, 0.6, "linear")
+        ** 2))(f)
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -159,6 +159,10 @@ def main():
     key = jax.random.PRNGKey(1)
     comp = s["train_step"].lower(s["state"], s["dbatch"], key).compile()
     text = comp.as_text()
+    dump = os.environ.get("HLO_DUMP")
+    if dump:
+        with open(dump, "w") as f:
+            f.write(text)
     by = executable_bytes(comp)
     print(f"{task}/{op} train: xla {by['xla'] / 1e9:.2f} GB + "
           f"custom-call {by['custom_call'] / 1e9:.2f} GB = "

@@ -20,47 +20,53 @@ from tools.timing import bench_ms
 
 
 def run_all():
-    """Time every ball query the seg (S3DIS-shape) step issues — the
-    9 (nq, ns, radius, K) tuples of the 5-stage plan — with the SAME
-    dispatch the model uses (ops.neighbors.ball_query). One invocation
-    gives the full per-stage attribution of the ~13 ms bq phase.
-
-    Approximation (ADVICE r4): strided stages are modeled as
-    Morton-sort prefixes (``full[:, :ns]``) — spatially localized
-    corners at full density — rather than the FPS/grid-subsampled
-    stages the model computes, so per-stage neighbor densities can
-    diverge from production. Compare the printed ``mean nbrs`` against
-    the production values before trusting a per-stage split; the TOTAL
-    tracks the profile's bq phase because the (nq, ns, radius, K)
-    tuples and dispatch are exact."""
-    from closerlook3d_tpu.data.spatial_host import morton_sort_batch
+    """Time every ball query the seg (S3DIS-shape) step issues with the
+    PRODUCTION stage geometry — the stage clouds come from the same
+    compute_geometry pass the model runs (grid subsampling included),
+    not Morton-prefix approximations (whose density diverges from the
+    real stages: the round-4 prefix version over-counted mid stages by
+    up to 10x — ADVICE r4) — and with the same dispatch the model uses
+    (ops.neighbors.ball_query). One invocation gives the per-stage
+    attribution of the seg step's bq phase."""
+    import bench
+    from closerlook3d_tpu.models.backbone import compute_geometry
     from closerlook3d_tpu.ops.neighbors import ball_query
+    from closerlook3d_tpu.utils.config import stage_plan
 
-    b = 4
-    # (nq, ns, radius, k): stage-0 self, then per stage strided + self
-    # (configs/s3dis stage_plan at 15360 points; see models/backbone.py)
-    shapes = [
-        (15360, 15360, 0.1, 26),
-        (4096, 15360, 0.2, 26), (4096, 4096, 0.2, 31),
-        (1152, 4096, 0.4, 31), (1152, 1152, 0.4, 38),
-        (304, 1152, 0.8, 38), (304, 304, 0.8, 41),
-        (88, 304, 1.6, 41), (88, 88, 1.6, 39),
-    ]
+    cfg = bench._cell_cfg("seg", "pospool")
+    plan = stage_plan(cfg)
     rng = np.random.default_rng(0)
-    xyz = rng.uniform(-2, 2, size=(b, 15360, 3)).astype(np.float32)
-    sb = morton_sort_batch({"xyz": xyz, "mask": np.ones((b, 15360), bool)})
-    full = jnp.asarray(sb["xyz"])
+    hb = bench._make_host_batch(cfg, rng)
+    xyz, pmask = jnp.asarray(hb["xyz"]), jnp.asarray(hb["mask"])
+    g = jax.jit(lambda x, m: compute_geometry(cfg, x, m))(xyz, pmask)
+    b = xyz.shape[0]
+
+    radii = plan["radii"]
+    ks = plan["nsamples"]
+    cells = [("s0 self", g["xyz_0"], g["xyz_0"], g["mask_0"], g["mask_0"],
+              radii[0], ks[0])]
+    nstage = len(ks)
+    for i in range(1, nstage):
+        # same tuples compute_geometry issues: strided uses the finer
+        # stage's radius doubled and its slot count
+        cells.append((f"s{i} strided", g[f"xyz_{i}"], g[f"xyz_{i-1}"],
+                      g[f"mask_{i}"], g[f"mask_{i-1}"],
+                      radii[i - 1] * 2.0, ks[i - 1]))
+        cells.append((f"s{i} self", g[f"xyz_{i}"], g[f"xyz_{i}"],
+                      g[f"mask_{i}"], g[f"mask_{i}"], radii[i], ks[i]))
     total = 0.0
-    for nq, ns, radius, k in shapes:
-        s = full[:, :ns]
-        q = s[:, :nq]
-        f = jax.jit(lambda q, s, radius=radius, k=k:
-                    ball_query(q, s, radius, k))
+    for name, q, s, qm, sm, radius, k in cells:
+        f = jax.jit(lambda q, s, qm=qm, sm=sm, radius=radius, k=k:
+                    ball_query(q, s, radius, k, query_mask=qm,
+                               support_mask=sm))
         _, mask = f(q, s)
         ms = bench_ms(f, (q, s), iters=30)
         total += ms
-        print(f"bq {nq:>6} x {ns:>6} r={radius:<4} k={k}: {ms:7.3f} ms  "
-              f"(mean nbrs {float(jnp.sum(mask)) / (b * nq):.1f})")
+        nq, ns = q.shape[1], s.shape[1]
+        print(f"{name:<11} bq {nq:>6} x {ns:>6} r={radius:<4} k={k}: "
+              f"{ms:7.3f} ms  (mean nbrs "
+              f"{float(jnp.sum(mask)) / float(jnp.sum(qm)):.1f})",
+              flush=True)
     print(f"total: {total:.3f} ms")
 
 
