@@ -217,3 +217,30 @@ def test_best_checkpoint_saved(tmp_path):
     assert t.ckpt_best.latest_step() == best_steps[-1][0]
     # and the latest slot moved past it
     assert t.ckpt.latest_step() > t.ckpt_best.latest_step()
+
+
+def test_nan_loss_aborts_training(tmp_path):
+    """A diverged step must kill training loudly at the next fetch, not
+    keep training garbage behind healthy-looking meters (VERDICT r4
+    weak #1)."""
+    import pytest
+
+    from closerlook3d_tpu.train.loop import Trainer
+
+    cfg = tiny_cfg()
+    cfg.epochs = 1
+    cfg.log_interval = 1
+    cfg.use_pallas = "never"
+
+    t = Trainer(cfg, str(tmp_path / "run"))
+    orig = t.train_step
+
+    def poisoned(state, batch, rng):
+        state, metrics = orig(state, batch, rng)
+        metrics = dict(metrics)
+        metrics["loss"] = metrics["loss"] * jnp.float32("nan")
+        return state, metrics
+
+    t.train_step = poisoned
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        t.fit()
