@@ -86,6 +86,17 @@ BUDGET = dict(task="partseg", ops=["pospool", "pseudo_grid"],
 NOISE = dict(task="partseg", label_noise=0.1, epochs=192,
              seeds=[7, 8, 9], ops=list(OPS))
 
+# noise-budget tail (--noise-budget): the round-5 noise probe found the
+# parameter-free pospool-xyz still BELOW the noisy ceiling at 192
+# epochs while the learned operators sit on it — i.e. the probe's
+# budget, not the trunk, limits the clustering verdict. This tail runs
+# the extreme pair (slowest vs fastest converger) at 2x/4x the noise
+# budget: clustering in the paper's regime predicts pospool closes the
+# gap as it saturates the same ceiling.
+NOISE_BUDGET = dict(task="partseg", label_noise=0.1,
+                    ops=["pospool", "pointwisemlp"],
+                    epochs=[384, 768], seed=7)
+
 
 def _cfg_for(task: str, op: str, seed: int, width=48, depth=1,
              label_noise=0.0):
@@ -161,6 +172,8 @@ def main(argv=None):
                    help="run the budget-scaling probe (BUDGET)")
     p.add_argument("--noise-probe", action="store_true",
                    help="run the annotation-noise clustering probe (NOISE)")
+    p.add_argument("--noise-budget", action="store_true",
+                   help="run the noise-probe budget tail (NOISE_BUDGET)")
     args = p.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -173,6 +186,7 @@ def main(argv=None):
     capacity_results = {}
     budget_results = {}
     noise_results = {}
+    noise_budget_results = {}
     kept_tasks = set()
     prev_rerun_delta = None
     # resume: completed cells from a previous (interrupted) invocation
@@ -206,6 +220,12 @@ def main(argv=None):
                 budget_results = prev.get("budget_results", {})
             if prev.get("noise_protocol") == NOISE:
                 noise_results = prev.get("noise_results", {})
+            pnb = prev.get("noise_budget_protocol") or {}
+            if {k: v for k, v in pnb.items() if k != "epochs"} == \
+                    {k: v for k, v in NOISE_BUDGET.items()
+                     if k != "epochs"}:
+                noise_budget_results = prev.get("noise_budget_results",
+                                                {})
         except (ValueError, KeyError):
             pass
 
@@ -225,10 +245,12 @@ def main(argv=None):
                        "capacity_results": capacity_results,
                        "budget_results": budget_results,
                        "noise_results": noise_results,
+                       "noise_budget_results": noise_budget_results,
                        "partial": True, "protocol": proto,
                        "capacity_protocol": CAPACITY,
                        "budget_protocol": BUDGET,
-                       "noise_protocol": NOISE}, f, indent=1)
+                       "noise_protocol": NOISE,
+                       "noise_budget_protocol": NOISE_BUDGET}, f, indent=1)
 
     for task in args.tasks:
         for op in args.ops:
@@ -274,6 +296,27 @@ def main(argv=None):
                 _write_partial()
                 print(f"=== noise {cell}: {noise_results[cell]}",
                       flush=True)
+
+    if args.noise_budget:
+        nb = NOISE_BUDGET
+        for epochs in nb["epochs"]:
+            for op in nb["ops"]:
+                cell = f"{nb['task']}/{op}/e{epochs}"
+                if cell in noise_budget_results:
+                    print(f"=== noise-budget {cell}: cached", flush=True)
+                    continue
+                base = f"{nb['task']}/{op}/s{nb['seed']}"
+                if epochs == NOISE["epochs"] and base in noise_results:
+                    noise_budget_results[cell] = noise_results[base]
+                    continue
+                print(f"=== noise-budget {cell} (p={nb['label_noise']})",
+                      flush=True)
+                noise_budget_results[cell] = run_cell(
+                    nb["task"], op, nb["seed"], epochs=epochs,
+                    label_noise=nb["label_noise"])
+                _write_partial()
+                print(f"=== noise-budget {cell}: "
+                      f"{noise_budget_results[cell]}", flush=True)
 
     if args.budget:
         bt, bs = BUDGET["task"], BUDGET["seed"]
@@ -376,6 +419,22 @@ def main(argv=None):
                 "clustered": bool(spread <= 2 * sigma),
             }
 
+    nb_summary = None
+    if noise_budget_results:
+        key = TASKS[NOISE_BUDGET["task"]]["metric"]
+        base_e = NOISE["epochs"]
+        nb_summary = {}
+        for op in NOISE_BUDGET["ops"]:
+            cols = {}
+            b0 = f"{NOISE_BUDGET['task']}/{op}/s{NOISE_BUDGET['seed']}"
+            if b0 in noise_results:
+                cols[f"e{base_e}"] = noise_results[b0][key]
+            for e in NOISE_BUDGET["epochs"]:
+                c = f"{NOISE_BUDGET['task']}/{op}/e{e}"
+                if c in noise_budget_results:
+                    cols[f"e{e}"] = noise_budget_results[c][key]
+            nb_summary[op] = cols
+
     out = {
         "platform": jax.devices()[0].platform,
         "ops": args.ops, "seeds": args.seeds,
@@ -383,15 +442,18 @@ def main(argv=None):
         "capacity_results": capacity_results,
         "budget_results": budget_results,
         "noise_results": noise_results,
+        "noise_budget_results": noise_budget_results,
         "summary": summary,
         "capacity_summary": cap_summary,
         "budget_summary": bud_summary,
         "noise_summary": noise_summary,
+        "noise_budget_summary": nb_summary,
         "rerun_delta_cls_pospool": rerun_delta,
         "protocol": {t: _task_proto(t) for t in all_tasks},
         "capacity_protocol": CAPACITY,
         "budget_protocol": BUDGET,
         "noise_protocol": NOISE,
+        "noise_budget_protocol": NOISE_BUDGET,
     }
     with open(partial_path, "w") as f:
         json.dump(out, f, indent=1)
@@ -482,6 +544,26 @@ def main(argv=None):
             + f"| {ns['spread_over_sigma']} "
             + f"| {'yes' if ns['clustered'] else 'NO'} |",
         ]
+    if nb_summary:
+        base_e = NOISE["epochs"]
+        all_e = [base_e] + NOISE_BUDGET["epochs"]
+        lines += [
+            "",
+            f"### Noise-probe budget tail — {NOISE_BUDGET['task']}, "
+            f"p={NOISE_BUDGET['label_noise']}, seed "
+            f"{NOISE_BUDGET['seed']}, extreme pair",
+            "",
+            "Does the slowest converger reach the same noisy ceiling",
+            "with more budget (the paper's saturation regime)?",
+            "",
+            "| op | " + " | ".join(f"{e} ep" for e in all_e) + " |",
+            "|---|" + "---|" * len(all_e),
+        ]
+        for op in NOISE_BUDGET["ops"]:
+            row = [(f"{nb_summary[op][f'e{e}']:.4f}"
+                    if f"e{e}" in nb_summary.get(op, {}) else "-")
+                   for e in all_e]
+            lines.append(f"| {op} | " + " | ".join(row) + " |")
     if rerun_delta is not None:
         lines += ["", f"Rerun delta (cls/pospool, same seeds): "
                       f"{rerun_delta}"]
