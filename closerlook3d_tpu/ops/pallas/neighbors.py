@@ -33,8 +33,12 @@ _HI = jax.lax.Precision.HIGHEST
 _BIG = 1e10
 
 
-def _bq_kernel(qxyz_ref, sxyzt_ref, qmask_ref, smask_ref, idx_ref,
-               nmask_ref, *, k: int, ns: int, radius: float):
+def _bq_kernel(qxyz_ref, sxyzt_ref, qmask_ref, smask_ref, *rest,
+               k: int, ns: int, radius: float, folded: bool = False):
+    if folded:
+        qb_ref, sb_ref, idx_ref, nmask_ref = rest
+    else:
+        idx_ref, nmask_ref = rest
     t = qxyz_ref.shape[1]
     q = qxyz_ref[0]  # [T, 3] f32
     st = sxyzt_ref[0]  # [3, Ns] f32
@@ -45,6 +49,11 @@ def _bq_kernel(qxyz_ref, sxyzt_ref, qmask_ref, smask_ref, idx_ref,
         diff = q[:, d:d + 1] - st[d:d + 1, :]  # [T, Ns]
         d2 = diff * diff if d2 is None else d2 + diff * diff
     d2 = d2 + jnp.where(smask_ref[0], 0.0, _BIG)  # [1, Ns] broadcast
+    if folded:
+        # batch-folded tiles mix clouds on the lanes: exclude cross-
+        # batch pairs exactly (coordinate-offset tricks would cost f32
+        # bits; one [T, Ns] compare costs ~1 extraction pass)
+        d2 = d2 + jnp.where(qb_ref[0] == sb_ref[0], 0.0, _BIG)
 
     iota_ns = jax.lax.broadcasted_iota(jnp.int32, (t, ns), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
@@ -97,6 +106,15 @@ def ball_query_pallas(query_xyz, support_xyz, radius: float, nsample: int,
         query_mask = jnp.ones((b, nq), bool)
     if support_mask is None:
         support_mask = jnp.ones((b, ns), bool)
+    if (b > 1 and nq < 128 and b * ns <= 8192
+            and os.environ.get("CL3D_BQ_FOLD", "1") == "1"):
+        # deep-stage shapes (nq 8-88) leave 30-70% of the 128 lanes and
+        # all but one grid step idle; fold batch into the query lanes
+        # with an exact in-kernel batch guard (selection and tiebreaks
+        # are batch-local and index-order-preserving, so outputs match
+        # the unfolded kernel exactly)
+        return _bq_folded(query_xyz, support_xyz, radius, nsample,
+                          query_mask, support_mask)
     tile = _tile_for(nq, ns)
     qp, nq0 = _pad_queries(query_xyz.astype(jnp.float32), tile)
     qmp, _ = _pad_queries(query_mask[..., None], tile)
@@ -135,6 +153,67 @@ def ball_query_pallas(query_xyz, support_xyz, radius: float, nsample: int,
         interpret=_interpret(),
     )(qp, sxt, qmp, smp)
     return idx[:, :nq0], nmask[:, :nq0]
+
+
+def _bq_folded(query_xyz, support_xyz, radius: float, nsample: int,
+               query_mask, support_mask) -> Tuple[jax.Array, jax.Array]:
+    """Batch-folded small-stage ball query (see dispatch above)."""
+    b, nq, _ = query_xyz.shape
+    ns = support_xyz.shape[1]
+    nf, nsf = b * nq, b * ns
+    qf = query_xyz.reshape(1, nf, 3).astype(jnp.float32)
+    sf = support_xyz.reshape(1, nsf, 3).astype(jnp.float32)
+    qmf = query_mask.reshape(1, nf)
+    smf = support_mask.reshape(1, nsf)
+    qb = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nq).reshape(1, nf)
+    sb = jnp.repeat(jnp.arange(b, dtype=jnp.int32), ns).reshape(1, nsf)
+    tile = _tile_for(nf, nsf)
+    qp, _ = _pad_queries(qf, tile)
+    qmp, _ = _pad_queries(qmf[..., None], tile)
+    qbp, _ = _pad_queries(qb[..., None], tile)
+    ntile = qp.shape[1] // tile
+    sxt = jnp.swapaxes(sf, 1, 2)  # [1, 3, Nsf]
+
+    kern = functools.partial(_bq_kernel, k=nsample, ns=nsf,
+                             radius=float(radius), folded=True)
+    idx, nmask = pl.pallas_call(
+        kern,
+        grid=(1, ntile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, nsf), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsf), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nsf), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, nsample), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, nsample), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, qp.shape[1], nsample), jnp.int32),
+            jax.ShapeDtypeStruct((1, qp.shape[1], nsample), jnp.bool_),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qp, sxt, qmp, smf[:, None, :], qbp, sb[:, None, :])
+    # folded indices are batch*ns + local; a query whose batch has no
+    # valid support argmins into batch 0 (all-BIG row) — clamp keeps
+    # the (masked-false) value in range like the unfolded kernel
+    idx = jnp.clip(idx[:, :nf] - qb[..., None] * ns, 0, ns - 1)
+    return (idx.reshape(b, nq, nsample),
+            nmask[:, :nf].reshape(b, nq, nsample))
 
 
 # --------------------------------------------------------------------------

@@ -139,3 +139,36 @@ def test_knn1_chunked_unsorted_still_exact():
     ri, _ = knn(q, s, 1)
     pi, _ = knn1_pallas_chunked(q, s)
     np.testing.assert_array_equal(np.asarray(ri), np.asarray(pi))
+
+
+def test_ball_query_folded_matches_unfolded():
+    """Deep-stage shapes (b>1, nq<128) take the batch-folded kernel;
+    outputs must EXACTLY match the unfolded path (selection and
+    tiebreaks are batch-local), incl. masked queries, empty
+    neighborhoods, and a batch with no valid support."""
+    import conftest  # noqa: F401  (interpret-mode env via module fixture)
+    from closerlook3d_tpu.ops.pallas.neighbors import (
+        _bq_folded, ball_query_pallas)
+
+    rng = np.random.default_rng(31)
+    b, nq, ns, k, radius = 4, 88, 304, 41, 0.8
+    q = jnp.asarray(rng.uniform(-2, 2, (b, nq, 3)), jnp.float32)
+    s = jnp.asarray(rng.uniform(-2, 2, (b, ns, 3)), jnp.float32)
+    qm = jnp.asarray(rng.random((b, nq)) < 0.9)
+    sm = jnp.asarray(rng.random((b, ns)) < 0.9)
+    sm = sm.at[2].set(False)  # batch with zero valid supports
+
+    fi, fm = _bq_folded(q, s, radius, k, qm, sm)
+    # the unfolded reference: bypass the dispatch by making nq >= 128
+    # via padding, then slice
+    pad = 128 - nq
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    qmp = jnp.pad(qm, ((0, 0), (0, pad)))
+    ui, um = ball_query_pallas(qp, s, radius, k, query_mask=qmp,
+                               support_mask=sm)
+    ui, um = ui[:, :nq], um[:, :nq]
+    np.testing.assert_array_equal(np.asarray(fm), np.asarray(um))
+    # FULL equality incl. shadow slots: slot 0 carries the nearest
+    # index even out-of-radius (pwmlp df nearest-carrier reads it)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ui))
+    assert np.asarray(fi).min() >= 0 and np.asarray(fi).max() < ns
