@@ -53,21 +53,37 @@ def _shape_bytes(spec: str) -> int:
 
 
 _OPNAME_RE = re.compile(r'op_name="([^"]+)"')
-_KNAME_RE = re.compile(r"(_\w+_kernel|_bq_\w+|_knn1?\w*|_fps\w*)")
+_TARGET_RE = re.compile(r'custom_call_target="([^"]+)"')
+_JIT_RE = re.compile(r"jit\(([^)]+)\)/pallas_call")
 
 
 def _call_label(line: str) -> str:
-    """Best-effort kernel label for one custom-call line: the Pallas
-    kernel function name embedded in the op_name metadata when present,
-    else the tail of the op_name scope, else 'custom-call'."""
+    """Kernel label for one custom-call line. Pallas calls
+    (custom_call_target="tpu_custom_call") are labeled by the wrapping
+    jit scope (e.g. ball_query_pallas_chunked); XLA-internal custom
+    calls (ConcatBitcast, GatherScatterIndicesBitpacked, ...) by their
+    target name."""
+    t = _TARGET_RE.search(line)
+    target = t.group(1) if t else "custom-call"
+    if target != "tpu_custom_call":
+        return target
     m = _OPNAME_RE.search(line)
-    if not m:
-        return "custom-call"
-    op_name = m.group(1)
-    k = _KNAME_RE.search(op_name)
-    if k:
-        return k.group(1)
-    return op_name.rsplit("/", 1)[-1][:60]
+    if m:
+        op_name = m.group(1)
+        j = _JIT_RE.search(op_name)
+        if j:
+            return j.group(1)
+        # custom_vjp kernels inside flax modules carry no jit(<fn>)
+        # scope; label by the owning module (Bottleneck_3/
+        # LocalAggregation_0/pallas_call -> LocalAggregation), split
+        # fwd/bwd by the transpose scope
+        parts = op_name.split("/")
+        owner = next((re.sub(r"_\d+$", "", p) for p in parts[-2::-1]
+                      if not p.startswith(("jit(", "jvp(", "transpose("))
+                      and p != "pallas_call"), "pallas")
+        side = "bwd" if "transpose(" in op_name else "fwd"
+        return f"{owner}:{side}"
+    return target
 
 
 def custom_call_list(hlo_text: str) -> list[dict]:
