@@ -101,6 +101,18 @@ NOISE_BUDGET = dict(task="partseg", label_noise=0.1,
                     ops=["pospool", "pointwisemlp"],
                     epochs=[384, 768], seed=7)
 
+# noise-capacity probe (--noise-capacity): the width-48 noise probe
+# left one attribution open — the xyz-avg PosPool plateaus below the
+# noisy ceiling while the other four sit on it. This runs the noise
+# protocol AT THE PAPER'S capacity (width 144, depth 2): if the lag is
+# the width-48 proxy's capacity limit (our hypothesis), pospool-xyz
+# closes on the ceiling here; if it persists, the gap is intrinsic to
+# the synthetic geometry. pointwisemlp rides along as the on-ceiling
+# control, pospool_sincos as the parameter-free control.
+NOISE_CAP = dict(task="partseg", label_noise=0.1, epochs=192, seed=7,
+                 width=144, depth=2,
+                 ops=["pospool", "pospool_sincos", "pointwisemlp"])
+
 
 def _cfg_for(task: str, op: str, seed: int, width=48, depth=1,
              label_noise=0.0):
@@ -178,6 +190,8 @@ def main(argv=None):
                    help="run the annotation-noise clustering probe (NOISE)")
     p.add_argument("--noise-budget", action="store_true",
                    help="run the noise-probe budget tail (NOISE_BUDGET)")
+    p.add_argument("--noise-capacity", action="store_true",
+                   help="run the noise probe at paper capacity (NOISE_CAP)")
     args = p.parse_args(argv)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -191,6 +205,7 @@ def main(argv=None):
     budget_results = {}
     noise_results = {}
     noise_budget_results = {}
+    noise_cap_results = {}
     kept_tasks = set()
     prev_rerun_delta = None
     # resume: completed cells from a previous (interrupted) invocation
@@ -224,6 +239,8 @@ def main(argv=None):
                 budget_results = prev.get("budget_results", {})
             if prev.get("noise_protocol") == NOISE:
                 noise_results = prev.get("noise_results", {})
+            if prev.get("noise_cap_protocol") == NOISE_CAP:
+                noise_cap_results = prev.get("noise_cap_results", {})
             pnb = prev.get("noise_budget_protocol") or {}
             if {k: v for k, v in pnb.items() if k != "epochs"} == \
                     {k: v for k, v in NOISE_BUDGET.items()
@@ -250,11 +267,13 @@ def main(argv=None):
                        "budget_results": budget_results,
                        "noise_results": noise_results,
                        "noise_budget_results": noise_budget_results,
+                       "noise_cap_results": noise_cap_results,
                        "partial": True, "protocol": proto,
                        "capacity_protocol": CAPACITY,
                        "budget_protocol": BUDGET,
                        "noise_protocol": NOISE,
-                       "noise_budget_protocol": NOISE_BUDGET}, f, indent=1)
+                       "noise_budget_protocol": NOISE_BUDGET,
+                       "noise_cap_protocol": NOISE_CAP}, f, indent=1)
 
     for task in args.tasks:
         for op in args.ops:
@@ -300,6 +319,23 @@ def main(argv=None):
                 _write_partial()
                 print(f"=== noise {cell}: {noise_results[cell]}",
                       flush=True)
+
+    if args.noise_capacity:
+        nc = NOISE_CAP
+        for op in nc["ops"]:
+            cell = f"{nc['task']}/{op}"
+            if cell in noise_cap_results:
+                print(f"=== noise-cap {cell}: cached", flush=True)
+                continue
+            print(f"=== noise-cap {cell} (w{nc['width']} d{nc['depth']} "
+                  f"p={nc['label_noise']} e{nc['epochs']})", flush=True)
+            noise_cap_results[cell] = run_cell(
+                nc["task"], op, nc["seed"], width=nc["width"],
+                depth=nc["depth"], epochs=nc["epochs"],
+                label_noise=nc["label_noise"])
+            _write_partial()
+            print(f"=== noise-cap {cell}: {noise_cap_results[cell]}",
+                  flush=True)
 
     if args.noise_budget:
         nb = NOISE_BUDGET
@@ -442,6 +478,14 @@ def main(argv=None):
                     "clustered": bool(rspread <= 2 * rsigma),
                 }
 
+    nc_summary = None
+    if noise_cap_results:
+        key = TASKS[NOISE_CAP["task"]]["metric"]
+        nc_summary = {
+            op: noise_cap_results[f"{NOISE_CAP['task']}/{op}"][key]
+            for op in NOISE_CAP["ops"]
+            if f"{NOISE_CAP['task']}/{op}" in noise_cap_results}
+
     nb_summary = None
     if noise_budget_results:
         key = TASKS[NOISE_BUDGET["task"]]["metric"]
@@ -466,17 +510,20 @@ def main(argv=None):
         "budget_results": budget_results,
         "noise_results": noise_results,
         "noise_budget_results": noise_budget_results,
+        "noise_cap_results": noise_cap_results,
         "summary": summary,
         "capacity_summary": cap_summary,
         "budget_summary": bud_summary,
         "noise_summary": noise_summary,
         "noise_budget_summary": nb_summary,
+        "noise_cap_summary": nc_summary,
         "rerun_delta_cls_pospool": rerun_delta,
         "protocol": {t: _task_proto(t) for t in all_tasks},
         "capacity_protocol": CAPACITY,
         "budget_protocol": BUDGET,
         "noise_protocol": NOISE,
         "noise_budget_protocol": NOISE_BUDGET,
+        "noise_cap_protocol": NOISE_CAP,
     }
     with open(partial_path, "w") as f:
         json.dump(out, f, indent=1)
@@ -587,6 +634,19 @@ def main(argv=None):
                     if f"e{e}" in nb_summary.get(op, {}) else "-")
                    for e in all_e]
             lines.append(f"| {op} | " + " | ".join(row) + " |")
+    if nc_summary:
+        nc = NOISE_CAP
+        lines += [
+            "",
+            f"### Noise probe at paper capacity — width {nc['width']},"
+            f" depth {nc['depth']}, p={nc['label_noise']},"
+            f" {nc['epochs']} epochs, seed {nc['seed']}",
+            "",
+            "| " + " | ".join(nc_summary) + " |",
+            "|" + "---|" * len(nc_summary),
+            "| " + " | ".join(f"{v:.4f}" for v in nc_summary.values())
+            + " |",
+        ]
     if rerun_delta is not None:
         lines += ["", f"Rerun delta (cls/pospool, same seeds): "
                       f"{rerun_delta}"]
@@ -658,16 +718,23 @@ def main(argv=None):
                     f"  {ex['spread_of_means']} mIoU (~{pts} points,",
                     "  accs 0.879-0.891 against the 0.90 noisy",
                     f"  ceiling): {verdict}.",
-                    "  The xyz-avg PosPool plateaus BELOW the ceiling at",
-                    "  this proxy capacity and does NOT close at 2x/4x",
-                    "  budget (noise-budget tail; it degrades — noisy-",
-                    "  label overfitting sets in before it saturates).",
-                    "  At width 48 on sharp-boundary synthetic geometry",
-                    "  its 12-channel xyz position code is genuinely",
-                    "  capacity-limited — a regime difference from the",
-                    "  paper's real-data width-144 setting, not a trunk",
-                    "  bug (every audit and the sin/cos variant pass",
-                    "  through the same trunk path).",
+                    "  The xyz-avg PosPool plateaus BELOW the ceiling,",
+                    "  and neither lever closes it: not 2x/4x budget",
+                    "  (noise-budget tail — it degrades; noisy-label",
+                    "  overfitting sets in before saturation) and not",
+                    "  the paper's capacity (noise-capacity probe at",
+                    "  width 144/depth 2 — 0.712, no better than width",
+                    "  48's 0.727, while sin/cos at w144 matches its",
+                    "  w48 self). The lag is intrinsic to this",
+                    "  sharp-geometric-boundary synthetic regime: a",
+                    "  3-channel xyz-average position code cannot",
+                    "  localize boundaries the way the richer encodings",
+                    "  do, at any tested width/budget — a task-regime",
+                    "  difference from the paper's real scans (whose",
+                    "  annotation-noise ceiling every operator reaches",
+                    "  after ~600 epochs), not a trunk bug (every audit",
+                    "  and the sin/cos variant pass through the same",
+                    "  trunk path).",
                 ]
     lines += [
         "",
